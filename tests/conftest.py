@@ -1,0 +1,19 @@
+"""Test harness: force CPU with 8 virtual devices (multi-chip mesh simulation).
+
+The session may expose a real TPU through the experimental `axon` plugin,
+which ignores the JAX_PLATFORMS env var — so we force the platform through
+jax.config before any backend is initialized.  Must run before any test module
+imports jax-dependent code.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu"
+assert jax.device_count() == 8

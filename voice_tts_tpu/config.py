@@ -1,0 +1,367 @@
+"""Unified typed configuration tree.
+
+The reference stack spreads configuration across OmegaConf YAML, argparse,
+gunicorn config modules, JSON AttrDicts and Munch objects (see
+reference `indextts/infer_v2.py:77-199`, `server.py:446-482`,
+`s2mel/modules/bigvgan/bigvgan.py:25-28`).  Here everything lives in one
+dataclass tree that round-trips to/from plain dicts (and therefore JSON/YAML),
+with defaults matching the published IndexTTS2 model family.
+
+Model-size defaults below describe the flagship IndexTTS2 checkpoints
+(`IndexTeam/IndexTTS-2`); they are plain fields so smoke tests can shrink them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Tuple
+
+
+def _to_dict(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        return {f.name: _to_dict(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+    if isinstance(obj, (list, tuple)):
+        return [_to_dict(x) for x in obj]
+    return obj
+
+
+def _from_dict(cls: Any, data: Any) -> Any:
+    if data is None:
+        return None
+    if dataclasses.is_dataclass(cls):
+        kwargs = {}
+        hints = {f.name: f for f in dataclasses.fields(cls)}
+        for key, val in data.items():
+            if key not in hints:
+                raise KeyError(f"unknown config key {key!r} for {cls.__name__}")
+            ftype = hints[key].type
+            sub = _DATACLASS_FIELDS.get((cls, key))
+            if sub is not None and isinstance(val, dict):
+                kwargs[key] = _from_dict(sub, val)
+            else:
+                kwargs[key] = val
+        return cls(**kwargs)
+    return data
+
+
+@dataclass
+class MelConfig:
+    """Log-mel frontend (matches reference `s2mel/modules/audio.py:45-82`)."""
+
+    sample_rate: int = 22050
+    n_fft: int = 1024
+    win_size: int = 1024
+    hop_size: int = 256
+    num_mels: int = 80
+    fmin: float = 0.0
+    fmax: Optional[float] = None  # None -> sr/2 (slaney mel basis)
+
+
+@dataclass
+class ConformerConfig:
+    """wenet-style conformer conditioning encoder
+    (reference `indextts/gpt/conformer_encoder.py:439-520`)."""
+
+    input_size: int = 1024
+    output_size: int = 512
+    attention_heads: int = 8
+    linear_units: int = 2048
+    num_blocks: int = 6
+    input_layer: str = "conv2d2"  # linear | conv2d2 | conv2d
+    perceiver_mult: int = 2
+    cnn_module_kernel: int = 15
+    pos_enc_layer_type: str = "rel_pos"
+
+
+@dataclass
+class GPTConfig:
+    """UnifiedVoice acoustic-token GPT (reference `indextts/gpt/model_v2.py:304-410`)."""
+
+    layers: int = 24
+    model_dim: int = 1280
+    heads: int = 20
+    max_text_tokens: int = 600
+    max_mel_tokens: int = 1815
+    number_text_tokens: int = 12000
+    start_text_token: int = 0
+    stop_text_token: int = 1
+    number_mel_codes: int = 8194
+    start_mel_token: int = 8192
+    stop_mel_token: int = 8193
+    types: int = 1
+    condition_num_latent: int = 32
+    condition_type: str = "conformer_perceiver"
+    emo_dim: int = 1024  # width of the emotion perceiver output
+    condition_module: ConformerConfig = field(default_factory=ConformerConfig)
+    emo_condition_module: ConformerConfig = field(
+        default_factory=lambda: ConformerConfig(num_blocks=4)
+    )
+
+
+@dataclass
+class DiTConfig:
+    """Flow-matching mel estimator (reference `s2mel/modules/diffusion_transformer.py:103-252`)."""
+
+    hidden_dim: int = 512
+    depth: int = 13
+    num_heads: int = 8
+    in_channels: int = 80
+    content_dim: int = 512
+    style_dim: int = 192
+    is_causal: bool = False
+    long_skip_connection: bool = True
+    final_layer_type: str = "wavenet"
+    rope_base: float = 10000.0
+    block_size: int = 8192
+
+
+@dataclass
+class WaveNetConfig:
+    hidden_dim: int = 512
+    kernel_size: int = 5
+    dilation_rate: int = 1
+    num_layers: int = 8
+    p_dropout: float = 0.0
+
+
+@dataclass
+class LengthRegulatorConfig:
+    """(reference `s2mel/modules/length_regulator.py:28-141`)"""
+
+    channels: int = 512
+    num_sampling_ratios: int = 2  # number of conv/groupnorm/mish stacks
+    codebook_size: int = 8192
+    n_codebooks: int = 3
+    groups: int = 1
+
+
+@dataclass
+class S2MelConfig:
+    dit: DiTConfig = field(default_factory=DiTConfig)
+    wavenet: WaveNetConfig = field(default_factory=WaveNetConfig)
+    length_regulator: LengthRegulatorConfig = field(default_factory=LengthRegulatorConfig)
+    gpt_dim: int = 1280  # input width of gpt_layer MLP (GPT latent width)
+    gpt_layer_hidden: Tuple[int, ...] = (256, 128)
+    gpt_layer_out: int = 1024
+    mel_scale_factor: float = 1.72  # code frames -> mel frames
+
+
+@dataclass
+class BigVGANConfig:
+    """(reference `s2mel/modules/bigvgan/config.json` + `bigvgan.py:243-384`)"""
+
+    num_mels: int = 80
+    upsample_rates: Tuple[int, ...] = (4, 4, 2, 2, 2, 2)
+    upsample_kernel_sizes: Tuple[int, ...] = (8, 8, 4, 4, 4, 4)
+    upsample_initial_channel: int = 1536
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    activation: str = "snakebeta"
+    snake_logscale: bool = True
+    use_bias_at_final: bool = False
+    use_tanh_at_final: bool = False
+    sampling_rate: int = 22050
+
+
+@dataclass
+class RepCodecConfig:
+    """Semantic codec over w2v-bert features
+    (reference `utils/maskgct/models/codec/kmeans/repcodec_model.py:34-199`)."""
+
+    codebook_size: int = 8192
+    hidden_size: int = 1024
+    codebook_dim: int = 8
+    vocos_dim: int = 384
+    vocos_intermediate_dim: int = 2048
+    vocos_num_layers: int = 12
+    num_quantizers: int = 1
+    downsample_scale: int = 1
+
+
+@dataclass
+class CAMPPlusConfig:
+    """(reference `s2mel/modules/campplus/DTDNN.py:50-117`)"""
+
+    feat_dim: int = 80
+    embedding_size: int = 192
+    growth_rate: int = 32
+    bn_size: int = 4
+    init_channels: int = 128
+
+
+@dataclass
+class W2VBertConfig:
+    """facebook/w2v-bert-2.0 (conformer encoder; we run up to `output_layer`).
+
+    Defaults mirror `transformers.Wav2Vec2BertConfig` for w2v-bert-2.0.
+    """
+
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    feature_projection_input_dim: int = 160
+    output_layer: int = 17  # hidden_states[17] per reference `infer_v2.py:208`
+    left_max_position_embeddings: int = 64
+    right_max_position_embeddings: int = 8
+    conv_kernel_size: int = 31
+
+
+@dataclass
+class QwenEmoConfig:
+    """Text->emotion classifier LLM (reference `infer_v2.py:795-906`)."""
+
+    enabled: bool = False
+    model_dir: Optional[str] = None
+    vocab_size: int = 151936
+    hidden_size: int = 1024
+    num_layers: int = 28
+    num_heads: int = 16
+    num_kv_heads: int = 8
+    intermediate_size: int = 3072
+    max_new_tokens: int = 256
+
+
+@dataclass
+class GenerationConfig:
+    """AR sampling defaults (reference `infer_v2.py:598-606`)."""
+
+    do_sample: bool = True
+    top_p: float = 0.8
+    top_k: int = 30
+    temperature: float = 0.8
+    length_penalty: float = 0.0
+    num_beams: int = 3
+    repetition_penalty: float = 10.0
+    max_mel_tokens: int = 1500
+    max_text_tokens_per_segment: int = 120
+
+
+@dataclass
+class EngineConfig:
+    diffusion_steps: int = 25
+    inference_cfg_rate: float = 0.7
+    interval_silence_ms: int = 200
+    max_prompt_seconds: float = 15.0
+    emo_num: Tuple[int, ...] = (3, 9, 4, 2, 2, 3, 9, 3)  # rows per emotion group in emo/spk matrices
+    sample_rate: int = 22050
+    silent_token: int = 52
+    # compile-time shape buckets (text tokens / mel codes / prompt frames)
+    text_buckets: Tuple[int, ...] = (32, 64, 120)
+    code_buckets: Tuple[int, ...] = (256, 512, 1024, 1536)
+    prompt_frame_buckets: Tuple[int, ...] = (256, 512, 1024, 1536)
+    use_fp16: bool = False  # bf16 on TPU when enabled
+    seed: int = 0
+
+
+@dataclass
+class ServerConfig:
+    host: str = "0.0.0.0"
+    port: int = 8020
+    workers: int = 1
+    log_level: str = "info"
+    request_timeout_s: float = 300.0
+    download_timeout_s: float = 30.0
+    max_batch_size: int = 8  # continuous batching cap per decode step
+
+
+@dataclass
+class TTSConfig:
+    """Root config for the whole framework."""
+
+    model_dir: Optional[str] = None
+    gpt: GPTConfig = field(default_factory=GPTConfig)
+    s2mel: S2MelConfig = field(default_factory=S2MelConfig)
+    vocoder: BigVGANConfig = field(default_factory=BigVGANConfig)
+    semantic_codec: RepCodecConfig = field(default_factory=RepCodecConfig)
+    campplus: CAMPPlusConfig = field(default_factory=CAMPPlusConfig)
+    w2v_bert: W2VBertConfig = field(default_factory=W2VBertConfig)
+    qwen_emo: QwenEmoConfig = field(default_factory=QwenEmoConfig)
+    mel: MelConfig = field(default_factory=MelConfig)
+    generation: GenerationConfig = field(default_factory=GenerationConfig)
+    engine: EngineConfig = field(default_factory=EngineConfig)
+    server: ServerConfig = field(default_factory=ServerConfig)
+    version: str = "2.0-tpu"
+
+    # ---- (de)serialization ----
+    def to_dict(self) -> dict:
+        return _to_dict(self)
+
+    def to_json(self, **kwargs) -> str:
+        return json.dumps(self.to_dict(), **kwargs)
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "TTSConfig":
+        return _from_dict(cls, data)
+
+    @classmethod
+    def from_json(cls, text: str) -> "TTSConfig":
+        return cls.from_dict(json.loads(text))
+
+    @classmethod
+    def tiny(cls) -> "TTSConfig":
+        """A miniature config for unit tests / CI (single-core CPU friendly)."""
+        cfg = cls()
+        cfg.gpt = GPTConfig(
+            layers=2, model_dim=64, heads=4, max_text_tokens=32, max_mel_tokens=64,
+            number_text_tokens=40, number_mel_codes=68, start_mel_token=66,
+            stop_mel_token=67, condition_num_latent=4, emo_dim=32,
+            condition_module=ConformerConfig(
+                input_size=32, output_size=32, attention_heads=2, linear_units=64,
+                num_blocks=1, input_layer="conv2d2", perceiver_mult=2,
+            ),
+            emo_condition_module=ConformerConfig(
+                input_size=32, output_size=32, attention_heads=2, linear_units=64,
+                num_blocks=1, input_layer="conv2d2", perceiver_mult=2,
+            ),
+        )
+        cfg.s2mel = S2MelConfig(
+            dit=DiTConfig(hidden_dim=64, depth=2, num_heads=4, in_channels=20,
+                          content_dim=64, style_dim=16, block_size=256),
+            wavenet=WaveNetConfig(hidden_dim=64, kernel_size=5, num_layers=2),
+            length_regulator=LengthRegulatorConfig(channels=64, num_sampling_ratios=2,
+                                                   codebook_size=64, n_codebooks=1),
+            gpt_dim=64, gpt_layer_hidden=(32, 16), gpt_layer_out=32,
+        )
+        cfg.vocoder = BigVGANConfig(
+            num_mels=20, upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+            upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3),),
+        )
+        cfg.semantic_codec = RepCodecConfig(
+            codebook_size=64, hidden_size=32, codebook_dim=8, vocos_dim=16,
+            vocos_intermediate_dim=32, vocos_num_layers=2,
+        )
+        cfg.campplus = CAMPPlusConfig(feat_dim=80, embedding_size=16, growth_rate=4,
+                                      bn_size=2, init_channels=16)
+        cfg.w2v_bert = W2VBertConfig(hidden_size=32, num_layers=2, num_heads=4,
+                                     intermediate_size=64, output_layer=1)
+        cfg.mel = MelConfig(sample_rate=22050, n_fft=256, win_size=256, hop_size=64,
+                            num_mels=20)
+        cfg.engine = EngineConfig(diffusion_steps=4, text_buckets=(16, 32),
+                                  code_buckets=(32, 64), prompt_frame_buckets=(32, 64))
+        return cfg
+
+
+# registry of nested dataclass fields for from_dict
+_DATACLASS_FIELDS = {}
+for _cls in [TTSConfig, GPTConfig, S2MelConfig, QwenEmoConfig]:
+    for _f in dataclasses.fields(_cls):
+        _default = _f.default_factory() if _f.default_factory is not dataclasses.MISSING else None  # type: ignore[misc]
+        if dataclasses.is_dataclass(_default):
+            _DATACLASS_FIELDS[(_cls, _f.name)] = type(_default)
+for _cls, _name, _sub in [
+    (TTSConfig, "gpt", GPTConfig), (TTSConfig, "s2mel", S2MelConfig),
+    (TTSConfig, "vocoder", BigVGANConfig), (TTSConfig, "semantic_codec", RepCodecConfig),
+    (TTSConfig, "campplus", CAMPPlusConfig), (TTSConfig, "w2v_bert", W2VBertConfig),
+    (TTSConfig, "qwen_emo", QwenEmoConfig), (TTSConfig, "mel", MelConfig),
+    (TTSConfig, "generation", GenerationConfig), (TTSConfig, "engine", EngineConfig),
+    (TTSConfig, "server", ServerConfig),
+    (GPTConfig, "condition_module", ConformerConfig),
+    (GPTConfig, "emo_condition_module", ConformerConfig),
+    (S2MelConfig, "dit", DiTConfig), (S2MelConfig, "wavenet", WaveNetConfig),
+    (S2MelConfig, "length_regulator", LengthRegulatorConfig),
+]:
+    _DATACLASS_FIELDS[(_cls, _name)] = _sub
