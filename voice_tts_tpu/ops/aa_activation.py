@@ -1,0 +1,244 @@
+"""Fused anti-aliased snake activation (BigVGAN AMP block activation).
+
+The reference computes `UpSample1d(2x) -> snake(beta) -> DownSample1d(2x)`
+either as three torch modules (`alias_free_activation/torch/act.py`) or as one
+fused CUDA kernel (`alias_free_activation/cuda/anti_alias_activation_cuda.cu`).
+
+Here the whole composite is expressed in *polyphase* form so the 2x-upsampled
+intermediate is never materialized:
+
+With the 12-tap kaiser-sinc filter ``h`` (cutoff 0.25, half-width 0.3, the
+values used for ratio=2), ``x_ext`` = x replicate-padded (3 left, 4 right):
+
+    u_even[t] = 2 * sum_a h[2a+1] * x_ext[t + 5 - a]        (a = 0..5)
+    u_odd[t]  = 2 * sum_a h[2a]   * x_ext[t + 6 - a]
+    z_even    = snake(u_even),  z_odd = snake(u_odd)
+    out[t]    = sum_b h[2b+1] * ze_ext[t + b + 1]
+              + sum_b h[2b]   * zo_ext[t + b]               (b = 0..5)
+
+where ``ze_ext``/``zo_ext`` are the phases extended by 3 on each side with the
+interleaved-signal edge values (left edge replicates z_even[0]; right edge
+replicates z_odd[-1]).  Derivation: conv_transpose(stride 2) splits into two
+6-tap phase filters; the stride-2 lowpass consumes each phase with its own
+6 taps.
+
+Everything is a static-shift multiply-accumulate on (channels, time) tiles —
+ideal VPU work.  Two implementations share this math:
+
+- `_aa_snake_jnp`: pure jnp (CPU tests / fallback / autodiff)
+- `_aa_snake_pallas`: one Pallas kernel, grid over (batch*channel tiles),
+  double-use of VMEM: reads x once, writes out once (the torch path does
+  ~6 HBM round-trips).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# ---------------------------------------------------------------------------
+# filter construction (host-side)
+# ---------------------------------------------------------------------------
+
+def kaiser_sinc_filter(cutoff: float, half_width: float, kernel_size: int) -> np.ndarray:
+    """Kaiser-windowed sinc lowpass, matching the reference
+    `alias_free_activation/torch/filter.py:30-62` (sum-normalized)."""
+    even = kernel_size % 2 == 0
+    half_size = kernel_size // 2
+
+    delta_f = 4 * half_width
+    a = 2.285 * (half_size - 1) * math.pi * delta_f + 7.95
+    if a > 50.0:
+        beta = 0.1102 * (a - 8.7)
+    elif a >= 21.0:
+        beta = 0.5842 * (a - 21) ** 0.4 + 0.07886 * (a - 21.0)
+    else:
+        beta = 0.0
+    window = np.kaiser(kernel_size, beta)
+
+    if even:
+        time = np.arange(-half_size, half_size) + 0.5
+    else:
+        time = np.arange(kernel_size) - half_size
+    if cutoff == 0:
+        return np.zeros(kernel_size, dtype=np.float32)
+    filt = 2 * cutoff * window * np.sinc(2 * cutoff * time)
+    filt /= filt.sum()
+    return filt.astype(np.float32)
+
+
+_FILTER12 = kaiser_sinc_filter(0.25, 0.3, 12)  # the ratio=2 filter
+_H_ODD = _FILTER12[1::2]   # taps h[1],h[3],...,h[11]
+_H_EVEN = _FILTER12[0::2]  # taps h[0],h[2],...,h[10]
+
+
+def _snake(x, alpha, beta_recip):
+    """x + (1/beta) * sin^2(alpha * x); alpha/beta_recip broadcast over time."""
+    s = jnp.sin(x * alpha)
+    return x + beta_recip * s * s
+
+
+def _phase_mac(x_ext, taps, offset):
+    """sum_a taps[a] * x_ext[..., t + offset - a] for t in [0, T)."""
+    n = x_ext.shape[-1] - 6 - 1  # T (x_ext length is T+7)
+    acc = None
+    for a, tap in enumerate(taps):
+        sl = jax.lax.slice_in_dim(x_ext, offset - a, offset - a + n, axis=-1)
+        acc = sl * tap if acc is None else acc + sl * tap
+    return acc
+
+
+def _down_mac(ze_ext, zo_ext, t_len):
+    acc = None
+    for b in range(6):
+        sl_e = jax.lax.slice_in_dim(ze_ext, b + 1, b + 1 + t_len, axis=-1)
+        sl_o = jax.lax.slice_in_dim(zo_ext, b, b + t_len, axis=-1)
+        term = sl_e * float(_H_ODD[b]) + sl_o * float(_H_EVEN[b])
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _aa_core(x_ext, alpha, beta_recip):
+    """Shared math: x_ext (..., T+7) -> out (..., T)."""
+    t_len = x_ext.shape[-1] - 7
+    u_e = 2.0 * _phase_mac(x_ext, [float(v) for v in _H_ODD], 5)
+    u_o = 2.0 * _phase_mac(x_ext, [float(v) for v in _H_EVEN], 6)
+    z_e = _snake(u_e, alpha, beta_recip)
+    z_o = _snake(u_o, alpha, beta_recip)
+    # interleaved-edge replicate: left pads take z_e[0], right pads take z_o[-1]
+    left = jnp.repeat(z_e[..., :1], 3, axis=-1)
+    right = jnp.repeat(z_o[..., -1:], 3, axis=-1)
+    ze_ext = jnp.concatenate([left, z_e, right], axis=-1)
+    zo_ext = jnp.concatenate([left, z_o, right], axis=-1)
+    return _down_mac(ze_ext, zo_ext, t_len)
+
+
+# ---------------------------------------------------------------------------
+# jnp implementation
+# ---------------------------------------------------------------------------
+
+def _aa_snake_jnp(x, alpha, beta_recip):
+    """x (B, C, T) -> (B, C, T); alpha/beta_recip (C,)."""
+    x_ext = jnp.concatenate(
+        [jnp.repeat(x[..., :1], 3, axis=-1), x, jnp.repeat(x[..., -1:], 4, axis=-1)],
+        axis=-1)
+    return _aa_core(x_ext, alpha[None, :, None], beta_recip[None, :, None])
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+_C_TILE = 8      # sublane tile
+_T_TILE = 8192   # time (lane) tile per kernel invocation; bounds VMEM use
+
+
+def _aa_kernel(x_ref, alpha_ref, beta_ref, out_ref):
+    # blocks carry a leading grid dim of size 1
+    x_ext = x_ref[0]                         # (C_TILE, L), already padded
+    out_ref[0] = _aa_core(x_ext, alpha_ref[0], beta_ref[0])
+
+
+def _chunk_plan(t: int, tile: int):
+    """Overlapped chunk layout for long signals.
+
+    Each chunk is an x_ext slice of length L = tile + 19 whose local edge
+    behaviour is only *correct* at the true signal edges; interior chunk
+    margins (6 output samples each side) are discarded.  Returns
+    (L, [(slice_start, valid_local_start, out_start, out_len)]).
+    """
+    if t + 7 <= tile + 19:
+        return t + 7, [(0, 0, 0, t)]
+    n = -(-t // tile)
+    length = tile + 19
+    plan = []
+    for j in range(n):
+        out_start = j * tile
+        out_len = min(t, out_start + tile) - out_start
+        if j == 0:
+            start = 0
+        elif j == n - 1:
+            start = t + 7 - length
+        else:
+            start = out_start - 6
+        plan.append((start, out_start - start, out_start, out_len))
+    return length, plan
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _aa_snake_pallas(x, alpha, beta_recip, interpret=False):
+    b, c, t = x.shape
+    c_pad = (-c) % _C_TILE
+    if c_pad:
+        x = jnp.pad(x, ((0, 0), (0, c_pad), (0, 0)))
+        alpha = jnp.pad(alpha, (0, c_pad))
+        beta_recip = jnp.pad(beta_recip, (0, c_pad), constant_values=1.0)
+    cp = c + c_pad
+    x_ext = jnp.concatenate(
+        [jnp.repeat(x[..., :1], 3, axis=-1), x, jnp.repeat(x[..., -1:], 4, axis=-1)],
+        axis=-1)  # (B, Cp, T+7)
+
+    length, plan = _chunk_plan(t, _T_TILE)
+    n_chunks = len(plan)
+    chunks = jnp.stack([
+        jax.lax.slice_in_dim(x_ext, s, s + length, axis=-1) for s, _, _, _ in plan
+    ], axis=0)  # (n, B, Cp, L)
+    chunks = chunks.reshape(n_chunks * b * cp // _C_TILE, _C_TILE, length)
+
+    alpha_b = jnp.tile(alpha.reshape(cp // _C_TILE, _C_TILE, 1), (n_chunks * b, 1, 1))
+    beta_b = jnp.tile(beta_recip.reshape(cp // _C_TILE, _C_TILE, 1), (n_chunks * b, 1, 1))
+
+    out = pl.pallas_call(
+        _aa_kernel,
+        grid=(n_chunks * b * cp // _C_TILE,),
+        in_specs=[
+            pl.BlockSpec((1, _C_TILE, length), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _C_TILE, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _C_TILE, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _C_TILE, length - 7), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_chunks * b * cp // _C_TILE, _C_TILE, length - 7), x.dtype),
+        interpret=interpret,
+    )(chunks, alpha_b, beta_b)
+    out = out.reshape(n_chunks, b, cp, length - 7)
+
+    pieces = [
+        jax.lax.slice_in_dim(out[j], v, v + out_len, axis=-1)
+        for j, (_, v, _, out_len) in enumerate(plan)
+    ]
+    full = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=-1)
+    return full[:, :c, :]
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+def aa_snake_activation(x: jnp.ndarray, alpha: jnp.ndarray, beta_recip: jnp.ndarray,
+                        use_pallas: bool | None = None,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Fused 2x-up -> snake -> 2x-down activation.
+
+    Args:
+      x: (B, C, T) float32.
+      alpha: (C,) snake frequency (already exponentiated if log-scale).
+      beta_recip: (C,) precomputed 1/(beta + 1e-9) magnitude term.
+      use_pallas: force kernel choice; defaults to True on TPU backends.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas or interpret:
+        return _aa_snake_pallas(x, alpha, beta_recip, interpret=interpret)
+    return _aa_snake_jnp(x, alpha, beta_recip)

@@ -1,0 +1,151 @@
+"""Checkpoint conversion: torch/safetensors state dicts -> JAX pytrees.
+
+Unifies the reference's four loader styles (strict `utils/checkpoint.py:25-34`,
+shape-filtered `commons.py:568-624`, safetensors `infer_v2.py:124`, HF hub
+`bigvgan.py:413-492`) into one converter per model family.  All converters:
+
+- fold weight norm (`weight_g`/`weight_v` or parametrizations) into plain
+  weights — the reference removes weight norm before inference anyway;
+- keep torch tensor layouts (our layers store torch-layout weights), so the
+  mapping is a pure rename;
+- drop buffers that are recomputed (anti-alias `filter`, positional tables).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, Mapping
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# loading + generic transforms
+# ---------------------------------------------------------------------------
+
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pt/.pth/.bin (torch pickle) or .safetensors file into numpy."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        return dict(load_file(path))
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict):
+        for key in ("generator", "model", "state_dict", "net"):
+            if key in obj and isinstance(obj[key], dict):
+                obj = obj[key]
+                break
+    return {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+            for k, v in obj.items()}
+
+
+def strip_ddp_prefix(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Remove 'module.' prefixes left by DDP training (reference
+    `commons.py:591-596`)."""
+    return {re.sub(r"^module\.", "", k): v for k, v in sd.items()}
+
+
+def fold_weight_norm(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Replace (weight_g, weight_v) pairs with weight = g * v / ||v||.
+
+    Handles both classic `foo.weight_g` and parametrized
+    `foo.parametrizations.weight.original0/1` naming.  Norm is over all dims
+    except dim 0 (torch weight_norm default dim=0).
+    """
+    out: Dict[str, np.ndarray] = {}
+    done = set()
+    for key in sd:
+        if key in done:
+            continue
+        m = re.match(r"^((?:.*\.)?)weight_g$", key)
+        p = re.match(r"^((?:.*\.)?)parametrizations\.weight\.original0$", key)
+        if m:
+            base = m.group(1)  # '' or 'prefix.'
+            g, v = np.asarray(sd[key]), np.asarray(sd[base + "weight_v"])
+            done.update({key, base + "weight_v"})
+        elif p:
+            base = p.group(1)
+            g = np.asarray(sd[key])
+            v = np.asarray(sd[base + "parametrizations.weight.original1"])
+            done.update({key, base + "parametrizations.weight.original1"})
+        else:
+            continue
+        axes = tuple(range(1, v.ndim))
+        norm = np.sqrt(np.sum(v.astype(np.float64) ** 2, axis=axes, keepdims=True))
+        out[base + "weight"] = (g.reshape(norm.shape) * v / norm).astype(v.dtype)
+    for key, val in sd.items():
+        if key not in done:
+            out[key] = np.asarray(val)
+    return out
+
+
+class Renamer:
+    """Collects regex rename rules mapping torch keys to flax param paths."""
+
+    def __init__(self):
+        self.rules: list[tuple[re.Pattern, Any]] = []
+
+    def rule(self, pattern: str, repl) -> "Renamer":
+        self.rules.append((re.compile(pattern), repl))
+        return self
+
+    def __call__(self, key: str):
+        for pat, repl in self.rules:
+            m = pat.match(key)
+            if m:
+                if repl is None:
+                    return None  # drop
+                target = m.expand(repl) if isinstance(repl, str) else repl(m)
+                return target
+        raise KeyError(f"no rename rule for checkpoint key {key!r}")
+
+
+def to_tree(flat: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """'a/b/c' -> nested dicts."""
+    tree: Dict[str, Any] = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = tree
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = val
+    return tree
+
+
+def convert(sd: Mapping[str, np.ndarray], renamer: Renamer,
+            transforms: Mapping[str, Callable[[np.ndarray], np.ndarray]] | None = None,
+            ) -> Dict[str, Any]:
+    """Apply weight-norm folding, renaming, and optional per-key transforms."""
+    sd = fold_weight_norm(strip_ddp_prefix(sd))
+    flat: Dict[str, np.ndarray] = {}
+    for key, val in sd.items():
+        target = renamer(key)
+        if target is None:
+            continue
+        if transforms and target in transforms:
+            val = transforms[target](val)
+        flat[target] = np.asarray(val)
+    return to_tree(flat)
+
+
+# ---------------------------------------------------------------------------
+# BigVGAN (reference `s2mel/modules/bigvgan/bigvgan.py`)
+# ---------------------------------------------------------------------------
+
+def bigvgan_renamer() -> Renamer:
+    r = Renamer()
+    r.rule(r"^conv_pre\.(weight|bias)$", r"conv_pre/\1")
+    r.rule(r"^ups\.(\d+)\.0\.(weight|bias)$", r"ups_\1/\2")
+    r.rule(r"^resblocks\.(\d+)\.convs1\.(\d+)\.(weight|bias)$", r"resblocks_\1/convs1_\2/\3")
+    r.rule(r"^resblocks\.(\d+)\.convs2\.(\d+)\.(weight|bias)$", r"resblocks_\1/convs2_\2/\3")
+    r.rule(r"^resblocks\.(\d+)\.activations\.(\d+)\.act\.(alpha|beta)$",
+           r"resblocks_\1/act_\2/\3")
+    r.rule(r"^activation_post\.act\.(alpha|beta)$", r"activation_post/\1")
+    r.rule(r"^conv_post\.(weight|bias)$", r"conv_post/\1")
+    # anti-alias filter buffers are constants rebuilt from the formula
+    r.rule(r".*\.(upsample|downsample|lowpass)[\.\w]*filter$", None)
+    return r
+
+
+def convert_bigvgan(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    return {"params": convert(sd, bigvgan_renamer())}
