@@ -6,9 +6,18 @@ original model family.  Missing heavy deps (librosa, torchaudio, ...) are
 stubbed just enough for module import; tests that need them skip when absent.
 """
 
+import importlib.machinery
 import os
 import sys
 import types
+
+
+def _stub_module(name: str) -> types.ModuleType:
+    mod = types.ModuleType(name)
+    mod.__path__ = []
+    # give the stub a real spec so importlib.util.find_spec works on it
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None, is_package=True)
+    return mod
 
 REFERENCE_PATH = "/root/reference"
 
@@ -22,11 +31,10 @@ def install_reference():
     if REFERENCE_PATH not in sys.path:
         sys.path.insert(0, REFERENCE_PATH)
     if "librosa" not in sys.modules:
-        librosa = types.ModuleType("librosa")
-        librosa.__path__ = []
-        util = types.ModuleType("librosa.util")
+        librosa = _stub_module("librosa")
+        util = _stub_module("librosa.util")
         util.normalize = lambda x, **k: x
-        filters = types.ModuleType("librosa.filters")
+        filters = _stub_module("librosa.filters")
 
         def _mel(**kwargs):
             from voice_tts_tpu.audio.filters import slaney_mel_matrix
@@ -39,3 +47,13 @@ def install_reference():
         librosa.filters = filters
         sys.modules.update({"librosa": librosa, "librosa.util": util,
                             "librosa.filters": filters})
+    if "torchaudio" not in sys.modules:
+        ta = _stub_module("torchaudio")
+        taf = _stub_module("torchaudio.functional")
+        taff = _stub_module("torchaudio.functional.functional")
+        taff._hz_to_mel = lambda f: f
+        taff._mel_to_hz = lambda m: m
+        taf.functional = taff
+        ta.functional = taf
+        sys.modules.update({"torchaudio": ta, "torchaudio.functional": taf,
+                            "torchaudio.functional.functional": taff})

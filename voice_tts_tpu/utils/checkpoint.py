@@ -149,3 +149,91 @@ def bigvgan_renamer() -> Renamer:
 
 def convert_bigvgan(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": convert(sd, bigvgan_renamer())}
+
+
+# ---------------------------------------------------------------------------
+# CAMPPlus (reference `s2mel/modules/campplus/DTDNN.py`)
+# ---------------------------------------------------------------------------
+
+def campplus_renamer() -> Renamer:
+    bn = r"(weight|bias|running_mean|running_var)"
+    r = Renamer()
+    r.rule(r".*num_batches_tracked$", None)
+    r.rule(r"^head\.conv(\d)\.weight$", r"head/conv\1/weight")
+    r.rule(rf"^head\.bn(\d)\.{bn}$", r"head/bn\1/\2")
+    r.rule(r"^head\.layer(\d)\.(\d)\.conv(\d)\.weight$", r"head/layer\1_\2/conv\3/weight")
+    r.rule(rf"^head\.layer(\d)\.(\d)\.bn(\d)\.{bn}$", r"head/layer\1_\2/bn\3/\4")
+    r.rule(r"^head\.layer(\d)\.(\d)\.shortcut\.0\.weight$", r"head/layer\1_\2/shortcut_conv/weight")
+    r.rule(rf"^head\.layer(\d)\.(\d)\.shortcut\.1\.{bn}$", r"head/layer\1_\2/shortcut_bn/\3")
+    r.rule(r"^xvector\.tdnn\.linear\.weight$", r"tdnn_linear/weight")
+    r.rule(rf"^xvector\.tdnn\.nonlinear\.batchnorm\.{bn}$", r"tdnn_bn/\1")
+    r.rule(rf"^xvector\.(block\d)\.(tdnnd\d+)\.nonlinear(\d)\.batchnorm\.{bn}$",
+           r"\1_\2/nonlinear\3_bn/\4")
+    r.rule(r"^xvector\.(block\d)\.(tdnnd\d+)\.linear1\.weight$", r"\1_\2/linear1/weight")
+    r.rule(r"^xvector\.(block\d)\.(tdnnd\d+)\.cam_layer\.(linear_local|linear1|linear2)\.(weight|bias)$",
+           r"\1_\2/cam_layer/\3/\4")
+    r.rule(rf"^xvector\.transit(\d)\.nonlinear\.batchnorm\.{bn}$", r"transit\1_bn/\2")
+    r.rule(r"^xvector\.transit(\d)\.linear\.weight$", r"transit\1_linear/weight")
+    r.rule(rf"^xvector\.out_nonlinear\.batchnorm\.{bn}$", r"out_bn/\1")
+    r.rule(r"^xvector\.dense\.linear\.weight$", r"dense_linear/weight")
+    r.rule(rf"^xvector\.dense\.nonlinear\.batchnorm\.{bn}$", r"dense_bn/\1")
+    return r
+
+
+def convert_campplus(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    return {"params": convert(sd, campplus_renamer())}
+
+
+# ---------------------------------------------------------------------------
+# RepCodec semantic codec (reference `kmeans/repcodec_model.py`)
+# ---------------------------------------------------------------------------
+
+def repcodec_renamer() -> Renamer:
+    r = Renamer()
+    r.rule(r"^decoder\..*", None)          # reconstruction path unused at inference
+    r.rule(r"^(down|up)\.(weight|bias)$", r"\1/\2")
+    r.rule(r"^encoder\.0\.embed\.(weight|bias)$", r"encoder_backbone/embed/\1")
+    r.rule(r"^encoder\.0\.norm\.(weight|bias)$", r"encoder_backbone/norm/\1")
+    r.rule(r"^encoder\.0\.convnext\.(\d+)\.(dwconv)\.(weight|bias)$",
+           r"encoder_backbone/convnext_\1/\2/\3")
+    r.rule(r"^encoder\.0\.convnext\.(\d+)\.(norm|pwconv1|pwconv2)\.(weight|bias)$",
+           r"encoder_backbone/convnext_\1/\2/\3")
+    r.rule(r"^encoder\.0\.convnext\.(\d+)\.gamma$", r"encoder_backbone/convnext_\1/gamma")
+    r.rule(r"^encoder\.0\.final_layer_norm\.(weight|bias)$",
+           r"encoder_backbone/final_layer_norm/\1")
+    r.rule(r"^encoder\.1\.(weight|bias)$", r"encoder_out/\1")
+    r.rule(r"^quantizer\.quantizers\.0\.(in_project|out_project)\.(weight|bias)$",
+           r"quantizer/\1/\2")
+    r.rule(r"^quantizer\.quantizers\.0\.codebook\.weight$", r"quantizer/codebook")
+    return r
+
+
+def convert_repcodec(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    return {"params": convert(sd, repcodec_renamer())}
+
+
+# ---------------------------------------------------------------------------
+# w2v-bert-2.0 (HF `Wav2Vec2BertModel`)
+# ---------------------------------------------------------------------------
+
+def w2v_bert_renamer(output_layer: int) -> Renamer:
+    r = Renamer()
+    r.rule(r"^masked_spec_embed$", None)
+    r.rule(r"^feature_projection\.layer_norm\.(weight|bias)$", r"fp_layer_norm/\1")
+    r.rule(r"^feature_projection\.projection\.(weight|bias)$", r"fp_projection/\1")
+
+    def layer_rule(m):
+        idx = int(m.group(1))
+        if idx >= output_layer:
+            return None  # truncated: layers past the tap are dead weight
+        return f"layer_{idx}/{m.group(2).replace('.', '/')}"
+
+    r.rule(r"^encoder\.layers\.(\d+)\.(.+?)\.?$",
+           lambda m: layer_rule(m))
+    return r
+
+
+def convert_w2v_bert(sd: Mapping[str, np.ndarray], output_layer: int = 17) -> Dict[str, Any]:
+    sd = {k.replace("self_attn.distance_embedding.weight",
+                    "self_attn.distance_embedding"): v for k, v in sd.items()}
+    return {"params": convert(sd, w2v_bert_renamer(output_layer))}
