@@ -57,3 +57,30 @@ def install_reference():
         ta.functional = taf
         sys.modules.update({"torchaudio": ta, "torchaudio.functional": taf,
                             "torchaudio.functional.functional": taff})
+
+
+def install_reference_gpt():
+    """install_reference + stubs for the vendored-HF GPT import chain.
+
+    The reference vendors transformers ~4.3x internals
+    (`indextts/gpt/transformers_*.py`); the installed transformers 4.57 has
+    dropped several private names those modules import.  They are only touched
+    by generate-time code paths we never call in tests.
+    """
+    install_reference()
+    import importlib
+
+    def patch(mod_name, names, value=None):
+        mod = importlib.import_module(mod_name)
+        for n in names:
+            if not hasattr(mod, n):
+                setattr(mod, n, value if value is not None else type(n, (), {}))
+
+    patch("transformers.cache_utils", ["QuantizedCacheConfig"])
+    patch("transformers.generation.candidate_generator",
+          ["_crop_past_key_values", "_prepare_attention_mask",
+           "_prepare_token_type_ids"], value=lambda *a, **k: None)
+    patch("transformers.generation.configuration_utils",
+          ["NEED_SETUP_CACHE_CLASSES_MAPPING", "QUANT_BACKEND_CLASSES_MAPPING"],
+          value={})
+    patch("transformers.modeling_utils", ["SequenceSummary"])

@@ -1,0 +1,214 @@
+"""UnifiedVoice GPT stack: parity vs reference torch model + decode loop."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from voice_tts_tpu.config import ConformerConfig, GPTConfig, GenerationConfig
+from voice_tts_tpu.models.gpt import UnifiedVoice
+from voice_tts_tpu.models.gpt.decode import decode
+from voice_tts_tpu.utils.checkpoint import convert_unified_voice
+
+from tests.reference_oracle import install_reference_gpt, reference_available
+
+needs_ref = pytest.mark.skipif(not reference_available(),
+                               reason="reference repo not mounted")
+
+TINY = GPTConfig(
+    layers=2, model_dim=64, heads=4, max_text_tokens=32, max_mel_tokens=48,
+    number_text_tokens=40, number_mel_codes=68, start_mel_token=66,
+    stop_mel_token=67, condition_num_latent=4, emo_dim=1024,
+    condition_module=ConformerConfig(
+        input_size=24, output_size=32, attention_heads=2, linear_units=48,
+        num_blocks=2, input_layer="conv2d2", perceiver_mult=2),
+    emo_condition_module=ConformerConfig(
+        input_size=24, output_size=32, attention_heads=2, linear_units=48,
+        num_blocks=1, input_layer="conv2d2", perceiver_mult=2),
+)
+
+
+def _build_reference(cfg: GPTConfig):
+    import torch
+    from indextts.gpt.model_v2 import UnifiedVoice as RefUV
+
+    torch.manual_seed(0)
+    cm = cfg.condition_module
+    em = cfg.emo_condition_module
+    ref = RefUV(
+        layers=cfg.layers, model_dim=cfg.model_dim, heads=cfg.heads,
+        max_text_tokens=cfg.max_text_tokens, max_mel_tokens=cfg.max_mel_tokens,
+        number_text_tokens=cfg.number_text_tokens,
+        number_mel_codes=cfg.number_mel_codes,
+        start_mel_token=cfg.start_mel_token, stop_mel_token=cfg.stop_mel_token,
+        condition_num_latent=cfg.condition_num_latent,
+        condition_type="conformer_perceiver",
+        condition_module={
+            "output_size": cm.output_size, "linear_units": cm.linear_units,
+            "attention_heads": cm.attention_heads, "num_blocks": cm.num_blocks,
+            "input_layer": cm.input_layer, "perceiver_mult": cm.perceiver_mult},
+        emo_condition_module={
+            "output_size": em.output_size, "linear_units": em.linear_units,
+            "attention_heads": em.attention_heads, "num_blocks": em.num_blocks,
+            "input_layer": em.input_layer, "perceiver_mult": em.perceiver_mult},
+    )
+    ref.eval()
+    return ref
+
+
+@pytest.fixture(scope="module")
+def ref_and_params():
+    if not reference_available():
+        pytest.skip("reference repo not mounted")
+    install_reference_gpt()
+    # reference hard-codes 1024-dim conditioning inputs; patch the conformers
+    # to the tiny width by rebuilding with input_size via monkeyable ctor —
+    # instead we just feed 1024-dim inputs with a tiny conformer? No: the
+    # ConformerEncoder input_size is fixed at 1024 inside model_v2, so tiny
+    # tests use input_size=1024 truncated frames.
+    cfg = TINY
+    ref = _build_reference(cfg)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_unified_voice(sd)
+    return cfg, ref, params
+
+
+def test_conditioning_parity(ref_and_params):
+    import torch
+    cfg, ref, params = ref_and_params
+    model = UnifiedVoice(cfg)
+
+    rng = np.random.default_rng(0)
+    spk = rng.normal(size=(1, 21, 1024)).astype(np.float32) * 0.3
+    lengths = np.array([21], dtype=np.int32)
+
+    with torch.no_grad():
+        ref_cond = ref.get_conditioning(
+            torch.from_numpy(spk).transpose(1, 2), torch.tensor([21])).numpy()
+
+    ours = np.asarray(model.apply(params, jnp.asarray(spk), jnp.asarray(lengths),
+                                  method=UnifiedVoice.get_conditioning))
+    assert ours.shape == ref_cond.shape
+    np.testing.assert_allclose(ours, ref_cond, atol=2e-4, rtol=1e-3)
+
+
+def test_emovec_parity(ref_and_params):
+    import torch
+    cfg, ref, params = ref_and_params
+    model = UnifiedVoice(cfg)
+
+    rng = np.random.default_rng(1)
+    emo = rng.normal(size=(1, 17, 1024)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        ref_vec = ref.get_emovec(torch.from_numpy(emo),
+                                 torch.tensor([17])).numpy()
+    ours = np.asarray(model.apply(params, jnp.asarray(emo),
+                                  jnp.asarray([17], dtype=jnp.int32),
+                                  method=UnifiedVoice.get_emovec))
+    np.testing.assert_allclose(ours, ref_vec, atol=2e-4, rtol=1e-3)
+
+
+def test_forward_latent_parity(ref_and_params):
+    import torch
+    cfg, ref, params = ref_and_params
+    model = UnifiedVoice(cfg)
+
+    rng = np.random.default_rng(2)
+    spk = rng.normal(size=(1, 21, 1024)).astype(np.float32) * 0.3
+    emo = rng.normal(size=(1, 17, 1024)).astype(np.float32) * 0.3
+    text = rng.integers(2, 30, size=(1, 9)).astype(np.int32)
+    codes = rng.integers(0, 60, size=(1, 13)).astype(np.int32)
+
+    with torch.no_grad():
+        ref_latent = ref(
+            torch.from_numpy(spk),  # (B, T, 1024); forward transposes internally
+            torch.from_numpy(text.astype(np.int64)), torch.tensor([9]),
+            torch.from_numpy(codes.astype(np.int64)), torch.tensor([13]),
+            torch.from_numpy(emo),
+            cond_mel_lengths=torch.tensor([21]),
+            emo_cond_mel_lengths=torch.tensor([17]),
+            emo_vec=None, use_speed=torch.zeros(1).long(),
+            do_spk_cond=True,
+        ).numpy()
+
+    cond = model.apply(params, jnp.asarray(spk), jnp.asarray([21], dtype=jnp.int32),
+                       method=UnifiedVoice.get_conditioning)
+    emovec = model.apply(params, jnp.asarray(emo), jnp.asarray([17], dtype=jnp.int32),
+                         method=UnifiedVoice.get_emovec)
+    ours = np.asarray(model.apply(
+        params, cond, emovec, jnp.asarray(text), jnp.asarray([9], dtype=jnp.int32),
+        jnp.asarray(codes), jnp.asarray([13], dtype=jnp.int32)))
+    assert ours.shape == ref_latent.shape
+    np.testing.assert_allclose(ours, ref_latent, atol=5e-4, rtol=1e-3)
+
+
+def test_decode_incremental_consistency():
+    """Greedy incremental decode must equal greedy decode re-derived from
+    full teacher-forced forwards (KV-cache correctness)."""
+    cfg = TINY
+    model = UnifiedVoice(cfg)
+    rng = np.random.default_rng(3)
+    text = rng.integers(2, 30, size=(1, 7)).astype(np.int32)
+
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 6, 1024)),
+                        jnp.zeros((1, 6, 1024)), jnp.asarray(text),
+                        jnp.asarray([7]), jnp.zeros((1, 5), dtype=jnp.int32),
+                        jnp.asarray([5]), method=UnifiedVoice.init_all)
+    cond = jnp.asarray(rng.normal(size=(1, 4, cfg.model_dim)).astype(np.float32) * 0.1)
+    emovec = jnp.asarray(rng.normal(size=(1, cfg.model_dim)).astype(np.float32) * 0.1)
+
+    gen = GenerationConfig(do_sample=False, repetition_penalty=1.0, num_beams=1)
+    res = decode(params, model, gen, cond, emovec, jnp.asarray(text),
+                 jnp.asarray([7], dtype=jnp.int32), jax.random.PRNGKey(1),
+                 max_new=8)
+    codes = np.asarray(res.codes)[0]
+
+    # oracle: rebuild each step's logits with the no-cache full forward over
+    # [prompt | start | generated-so-far]
+    prompt, valid = model.apply(params, cond, emovec, jnp.asarray(text),
+                                jnp.asarray([7], dtype=jnp.int32),
+                                method=UnifiedVoice.build_prompt)
+
+    def step_logits(n_prefix):
+        toks = [int(c) for c in codes[:n_prefix]]
+        mel_in = jnp.asarray([[cfg.start_mel_token] + toks], dtype=jnp.int32)
+        pos = jnp.arange(mel_in.shape[1])
+
+        def run(m):
+            mel_emb = m.mel_embedding(mel_in) + m.mel_pos_embedding(pos)[None]
+            emb = jnp.concatenate([prompt, mel_emb], axis=1)
+            vmask = jnp.concatenate(
+                [valid, jnp.ones((1, mel_in.shape[1]), dtype=bool)], axis=1)
+            hidden, _ = m.gpt(emb, None, 0, vmask)
+            return m.mel_head(m.final_norm(hidden[:, -1]))
+
+        return np.asarray(model.apply(params, method=run))
+
+    for n in range(4):
+        logits = step_logits(n)
+        expect = int(np.argmax(logits[0]))
+        assert expect == int(codes[n]), f"mismatch at step {n}"
+
+
+def test_decode_sampling_runs_and_stops():
+    cfg = TINY
+    model = UnifiedVoice(cfg)
+    rng = np.random.default_rng(4)
+    text = rng.integers(2, 30, size=(1, 7)).astype(np.int32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 6, 1024)),
+                        jnp.zeros((1, 6, 1024)), jnp.asarray(text),
+                        jnp.asarray([7]), jnp.zeros((1, 5), dtype=jnp.int32),
+                        jnp.asarray([5]), method=UnifiedVoice.init_all)
+    cond = jnp.zeros((1, 4, cfg.model_dim))
+    emovec = jnp.zeros((1, cfg.model_dim))
+    gen = GenerationConfig(do_sample=True, top_k=10, top_p=0.9, temperature=1.0,
+                           repetition_penalty=2.0, num_beams=1)
+    res = decode(params, model, gen, cond, emovec, jnp.asarray(text),
+                 jnp.asarray([7], dtype=jnp.int32), jax.random.PRNGKey(2),
+                 max_new=12)
+    codes = np.asarray(res.codes)
+    assert codes.shape == (1, 12)
+    assert codes.min() >= 0 and codes.max() < cfg.number_mel_codes
+    lengths = np.asarray(res.lengths)
+    assert 1 <= lengths[0] <= 12

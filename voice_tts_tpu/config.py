@@ -46,7 +46,7 @@ def _from_dict(cls: Any, data: Any) -> Any:
     return data
 
 
-@dataclass
+@dataclass(eq=False)
 class MelConfig:
     """Log-mel frontend (matches reference `s2mel/modules/audio.py:45-82`)."""
 
@@ -59,7 +59,7 @@ class MelConfig:
     fmax: Optional[float] = None  # None -> sr/2 (slaney mel basis)
 
 
-@dataclass
+@dataclass(eq=False)
 class ConformerConfig:
     """wenet-style conformer conditioning encoder
     (reference `indextts/gpt/conformer_encoder.py:439-520`)."""
@@ -75,7 +75,7 @@ class ConformerConfig:
     pos_enc_layer_type: str = "rel_pos"
 
 
-@dataclass
+@dataclass(eq=False)
 class GPTConfig:
     """UnifiedVoice acoustic-token GPT (reference `indextts/gpt/model_v2.py:304-410`)."""
 
@@ -100,7 +100,7 @@ class GPTConfig:
     )
 
 
-@dataclass
+@dataclass(eq=False)
 class DiTConfig:
     """Flow-matching mel estimator (reference `s2mel/modules/diffusion_transformer.py:103-252`)."""
 
@@ -117,7 +117,7 @@ class DiTConfig:
     block_size: int = 8192
 
 
-@dataclass
+@dataclass(eq=False)
 class WaveNetConfig:
     hidden_dim: int = 512
     kernel_size: int = 5
@@ -126,7 +126,7 @@ class WaveNetConfig:
     p_dropout: float = 0.0
 
 
-@dataclass
+@dataclass(eq=False)
 class LengthRegulatorConfig:
     """(reference `s2mel/modules/length_regulator.py:28-141`)"""
 
@@ -137,7 +137,7 @@ class LengthRegulatorConfig:
     groups: int = 1
 
 
-@dataclass
+@dataclass(eq=False)
 class S2MelConfig:
     dit: DiTConfig = field(default_factory=DiTConfig)
     wavenet: WaveNetConfig = field(default_factory=WaveNetConfig)
@@ -148,7 +148,7 @@ class S2MelConfig:
     mel_scale_factor: float = 1.72  # code frames -> mel frames
 
 
-@dataclass
+@dataclass(eq=False)
 class BigVGANConfig:
     """(reference `s2mel/modules/bigvgan/config.json` + `bigvgan.py:243-384`)"""
 
@@ -165,7 +165,7 @@ class BigVGANConfig:
     sampling_rate: int = 22050
 
 
-@dataclass
+@dataclass(eq=False)
 class RepCodecConfig:
     """Semantic codec over w2v-bert features
     (reference `utils/maskgct/models/codec/kmeans/repcodec_model.py:34-199`)."""
@@ -180,7 +180,7 @@ class RepCodecConfig:
     downsample_scale: int = 1
 
 
-@dataclass
+@dataclass(eq=False)
 class CAMPPlusConfig:
     """(reference `s2mel/modules/campplus/DTDNN.py:50-117`)"""
 
@@ -191,7 +191,7 @@ class CAMPPlusConfig:
     init_channels: int = 128
 
 
-@dataclass
+@dataclass(eq=False)
 class W2VBertConfig:
     """facebook/w2v-bert-2.0 (conformer encoder; we run up to `output_layer`).
 
@@ -209,7 +209,7 @@ class W2VBertConfig:
     conv_kernel_size: int = 31
 
 
-@dataclass
+@dataclass(eq=False)
 class QwenEmoConfig:
     """Text->emotion classifier LLM (reference `infer_v2.py:795-906`)."""
 
@@ -224,7 +224,7 @@ class QwenEmoConfig:
     max_new_tokens: int = 256
 
 
-@dataclass
+@dataclass(eq=False)
 class GenerationConfig:
     """AR sampling defaults (reference `infer_v2.py:598-606`)."""
 
@@ -239,7 +239,7 @@ class GenerationConfig:
     max_text_tokens_per_segment: int = 120
 
 
-@dataclass
+@dataclass(eq=False)
 class EngineConfig:
     diffusion_steps: int = 25
     inference_cfg_rate: float = 0.7
@@ -256,7 +256,7 @@ class EngineConfig:
     seed: int = 0
 
 
-@dataclass
+@dataclass(eq=False)
 class ServerConfig:
     host: str = "0.0.0.0"
     port: int = 8020
@@ -267,7 +267,7 @@ class ServerConfig:
     max_batch_size: int = 8  # continuous batching cap per decode step
 
 
-@dataclass
+@dataclass(eq=False)
 class TTSConfig:
     """Root config for the whole framework."""
 

@@ -1,0 +1,151 @@
+"""Fixed-shape autoregressive decode loop for UnifiedVoice.
+
+Replaces the reference's HF `generate` call stack
+(`transformers_generation_utils.py:3123-3260` sampling loop) with a jitted
+`lax.while_loop` over a preallocated KV cache.  Logit processing matches the
+HF order and semantics for the reference's defaults
+(`infer_v2.py:598-606`): repetition penalty -> temperature -> top-k -> top-p
+-> categorical sample (or argmax when do_sample=False).
+
+HF's repetition penalty sees the fake prompt ids (all ones) plus the start
+token (`model_v2.py:652-660`), so token ids {1, start_mel_token} start out
+"seen" — reproduced here with a vocab presence mask.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from voice_tts_tpu.config import GPTConfig, GenerationConfig
+from voice_tts_tpu.models.gpt.unified_voice import UnifiedVoice
+
+
+class DecodeResult(NamedTuple):
+    codes: jnp.ndarray       # (B, max_new) generated mel codes (stop-padded)
+    lengths: jnp.ndarray     # (B,) codes per row *including* the stop token
+    hit_limit: jnp.ndarray   # (B,) True if stopped by max length, not stop token
+
+
+def apply_repetition_penalty(logits: jnp.ndarray, presence: jnp.ndarray,
+                             penalty: float) -> jnp.ndarray:
+    if penalty == 1.0:
+        return logits
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(presence, penalized, logits)
+
+
+def apply_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    if k <= 0:
+        return logits
+    k = min(k, logits.shape[-1])
+    thresh = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < thresh, jnp.finfo(logits.dtype).min, logits)
+
+
+def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
+    """HF TopPLogitsWarper semantics (ascending sort, keep >= 1 token)."""
+    if p >= 1.0:
+        return logits
+    sort_idx = jnp.argsort(logits, axis=-1)  # ascending
+    sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    remove_sorted = cum <= (1.0 - p)
+    remove_sorted = remove_sorted.at[..., -1].set(False)  # min_tokens_to_keep=1
+    inv = jnp.argsort(sort_idx, axis=-1)
+    remove = jnp.take_along_axis(remove_sorted, inv, axis=-1)
+    return jnp.where(remove, jnp.finfo(logits.dtype).min, logits)
+
+
+def process_logits(logits, presence, gen: GenerationConfig):
+    logits = apply_repetition_penalty(logits, presence, gen.repetition_penalty)
+    if gen.do_sample:
+        if gen.temperature != 1.0:
+            logits = logits / gen.temperature
+        logits = apply_top_k(logits, gen.top_k)
+        logits = apply_top_p(logits, gen.top_p)
+    return logits
+
+
+class _LoopState(NamedTuple):
+    step: jnp.ndarray
+    token: jnp.ndarray       # (B,) last sampled token
+    cache: jnp.ndarray
+    presence: jnp.ndarray    # (B, V) repetition-penalty memory
+    codes: jnp.ndarray       # (B, max_new)
+    finished: jnp.ndarray    # (B,)
+    lengths: jnp.ndarray     # (B,)
+    rng: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("model", "gen", "max_new"))
+def decode(params, model: UnifiedVoice, gen: GenerationConfig,
+           cond_latents: jnp.ndarray, emo_vec: jnp.ndarray,
+           text_tokens: jnp.ndarray, text_lengths: jnp.ndarray,
+           rng: jax.Array, max_new: int) -> DecodeResult:
+    """Greedy/sampling AR decode (num_beams=1 path).
+
+    text_tokens (B, bucket_len) right-padded; returns up to `max_new` codes.
+    """
+    cfg: GPTConfig = model.cfg
+    b, bl = text_tokens.shape
+    p = cfg.condition_num_latent + 2 + bl + 2  # conds(34) + start/text/stop
+    t_max = p + 1 + max_new
+    vocab = cfg.number_mel_codes
+
+    prompt, valid_p = model.apply(
+        params, cond_latents, emo_vec, text_tokens, text_lengths,
+        method=UnifiedVoice.build_prompt)
+    valid = jnp.concatenate(
+        [valid_p, jnp.ones((b, t_max - p), dtype=bool)], axis=1)
+
+    hd = cfg.model_dim // cfg.heads
+    cache0 = jnp.zeros((cfg.layers, 2, b, cfg.heads, t_max, hd),
+                       dtype=prompt.dtype)
+    logits0, cache = model.apply(params, prompt, valid_p, cache0,
+                                 method=UnifiedVoice.prefill)
+
+    presence0 = jnp.zeros((b, vocab), dtype=bool)
+    presence0 = presence0.at[:, 1].set(True)                  # fake input ids
+    presence0 = presence0.at[:, cfg.start_mel_token].set(True)
+
+    def sample_from(logits, presence, rng):
+        warped = process_logits(logits, presence, gen)
+        if gen.do_sample:
+            rng, sub = jax.random.split(rng)
+            token = jax.random.categorical(sub, warped, axis=-1)
+        else:
+            token = jnp.argmax(warped, axis=-1)
+        return token.astype(jnp.int32), rng
+
+    token0, rng = sample_from(logits0, presence0, rng)
+    presence = presence0.at[jnp.arange(b), token0].set(True)
+    codes = jnp.full((b, max_new), cfg.stop_mel_token, dtype=jnp.int32)
+    codes = codes.at[:, 0].set(token0)
+    finished0 = token0 == cfg.stop_mel_token
+    lengths0 = jnp.ones((b,), dtype=jnp.int32)
+
+    def cond_fn(s: _LoopState):
+        return (s.step < max_new) & ~jnp.all(s.finished)
+
+    def body_fn(s: _LoopState):
+        logits, cache = model.apply(
+            params, s.token, s.step - 1, p + s.step, valid, s.cache,
+            method=UnifiedVoice.decode_step)
+        token, rng = sample_from(logits, s.presence, s.rng)
+        token = jnp.where(s.finished, cfg.stop_mel_token, token)
+        presence = s.presence.at[jnp.arange(b), token].set(True)
+        codes = jax.lax.dynamic_update_slice(
+            s.codes, token[:, None], (0, s.step))
+        newly_finished = token == cfg.stop_mel_token
+        lengths = jnp.where(s.finished, s.lengths, s.step + 1)
+        return _LoopState(s.step + 1, token, cache, presence, codes,
+                          s.finished | newly_finished, lengths, rng)
+
+    init = _LoopState(jnp.asarray(1), token0, cache, presence, codes,
+                      finished0, lengths0, rng)
+    final = jax.lax.while_loop(cond_fn, body_fn, init)
+    return DecodeResult(final.codes, final.lengths, ~final.finished)

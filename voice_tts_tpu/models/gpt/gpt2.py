@@ -1,0 +1,134 @@
+"""GPT-2 transformer stack with preallocated KV cache.
+
+Architecture parity with the vendored HF GPT-2 used by UnifiedVoice
+(reference `indextts/gpt/transformers_gpt2.py`: pre-LN blocks, fused-qkv
+Conv1D projections, gelu_new MLP, final ln_f; positional embeddings are
+external).  TPU-native decode: one module handles both prefill and
+single-token steps against a fixed-shape cache, so the whole AR loop stays
+inside `lax.while_loop` with static shapes.
+
+Cache layout: (layers, 2, B, heads, max_len, head_dim).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from voice_tts_tpu.models.layers import LayerNorm
+
+
+class Conv1DGPT(nn.Module):
+    """HF GPT-2 'Conv1D': y = x @ W + b with W stored (in, out)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.normal(0.02),
+                       (x.shape[-1], self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return x @ w + b
+
+
+class GPT2Block(nn.Module):
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x, kv, cache_index, attn_mask):
+        """x (B,S,D); kv (2,B,H,Tmax,hd) or None; attn_mask (B,S,L) bool.
+
+        Returns (hidden, new_kv).  Without a cache, L == S (plain causal
+        forward).  With a cache, K/V of the current block are written at
+        positions [cache_index, cache_index+S) and attention spans the whole
+        cache (L == Tmax).
+        """
+        b, s, d = x.shape
+        h, hd = self.heads, self.dim // self.heads
+
+        res = x
+        y = LayerNorm(name="ln_1")(x)
+        qkv = Conv1DGPT(3 * d, name="attn_c_attn")(y)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_first(t):
+            return jnp.transpose(t.reshape(b, s, h, hd), (0, 2, 1, 3))
+        q, k, v = heads_first(q), heads_first(k), heads_first(v)
+
+        if kv is not None:
+            k_cache = jax.lax.dynamic_update_slice(kv[0], k, (0, 0, cache_index, 0))
+            v_cache = jax.lax.dynamic_update_slice(kv[1], v, (0, 0, cache_index, 0))
+            new_kv = jnp.stack([k_cache, v_cache])
+            k_all, v_all = k_cache, v_cache
+        else:
+            new_kv = None
+            k_all, v_all = k, v
+
+        scores = jnp.einsum("bhsd,bhld->bhsl", q, k_all) / jnp.sqrt(
+            jnp.asarray(hd, dtype=x.dtype))
+        neg = jnp.finfo(scores.dtype).min
+        scores = jnp.where(attn_mask[:, None, :, :], scores, neg)
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhsl,bhld->bhsd", probs, v_all)
+        ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, s, d)
+        x = res + Conv1DGPT(d, name="attn_c_proj")(ctx)
+
+        res = x
+        y = LayerNorm(name="ln_2")(x)
+        y = Conv1DGPT(4 * d, name="mlp_c_fc")(y)
+        y = nn.gelu(y, approximate=True)  # gelu_new
+        y = Conv1DGPT(d, name="mlp_c_proj")(y)
+        return res + y, new_kv
+
+
+class GPT2Stack(nn.Module):
+    layers: int
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, embeds: jnp.ndarray,
+                 kv_cache: Optional[jnp.ndarray] = None,
+                 cache_index: int | jnp.ndarray = 0,
+                 valid_mask: Optional[jnp.ndarray] = None,
+                 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        """embeds (B, S, D) -> (hidden (B, S, D), new_cache).
+
+        valid_mask (B, L) bool: attendable key positions (False for padding).
+        GPT positions carry no absolute embedding here (the reference nulls
+        wpe, `model_v2.py:272-274`), so causal attention + a validity mask is
+        exactly equivalent to the reference's left-padded batching.
+        """
+        b, s, d = embeds.shape
+        if kv_cache is not None:
+            t_max = kv_cache.shape[4]
+            pos = jnp.arange(t_max)[None, None, :]
+            q_pos = cache_index + jnp.arange(s)[None, :, None]
+            mask = jnp.broadcast_to(pos <= q_pos, (b, s, t_max))
+        else:
+            t_max = s
+            mask = jnp.broadcast_to(jnp.tril(jnp.ones((s, s), dtype=bool))[None],
+                                    (b, s, s))
+        if valid_mask is not None:
+            mask = mask & valid_mask[:, None, :t_max]
+
+        x = embeds
+        new_layers = []
+        for i in range(self.layers):
+            kv = None if kv_cache is None else kv_cache[i]
+            x, new_kv = GPT2Block(d, self.heads, name=f"h_{i}")(
+                x, kv, cache_index, mask)
+            if new_kv is not None:
+                new_layers.append(new_kv)
+        x = LayerNorm(name="ln_f")(x)
+        new_cache = jnp.stack(new_layers) if new_layers else None
+        return x, new_cache
+
+    def init_cache(self, batch: int, max_len: int, dtype=jnp.float32) -> jnp.ndarray:
+        hd = self.dim // self.heads
+        return jnp.zeros((self.layers, 2, batch, self.heads, max_len, hd),
+                         dtype=dtype)

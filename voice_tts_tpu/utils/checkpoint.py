@@ -237,3 +237,71 @@ def convert_w2v_bert(sd: Mapping[str, np.ndarray], output_layer: int = 17) -> Di
     sd = {k.replace("self_attn.distance_embedding.weight",
                     "self_attn.distance_embedding"): v for k, v in sd.items()}
     return {"params": convert(sd, w2v_bert_renamer(output_layer))}
+
+
+# ---------------------------------------------------------------------------
+# UnifiedVoice GPT (reference `indextts/gpt/model_v2.py`)
+# ---------------------------------------------------------------------------
+
+def _add_conformer_rules(r: Renamer, src: str, dst: str) -> None:
+    """Rules for a wenet ConformerEncoder subtree (`conformer_encoder.py`)."""
+    r.rule(rf"^{src}\.embed\.conv\.0\.weight$", rf"{dst}/sub_conv_weight")
+    r.rule(rf"^{src}\.embed\.conv\.0\.bias$", rf"{dst}/sub_conv_bias")
+    r.rule(rf"^{src}\.embed\.out\.0\.(weight|bias)$", rf"{dst}/sub_out/\1")
+    r.rule(rf"^{src}\.embed\.out\.1\.(weight|bias)$", rf"{dst}/sub_norm/\1")
+    r.rule(rf"^{src}\.embed\.pos_enc\..*$", None)
+    r.rule(rf"^{src}\.encoders\.(\d+)\.self_attn\.(linear_(?:q|k|v|out|pos))\.(weight|bias)$",
+           rf"{dst}/layer_\1/self_attn/\2/\3")
+    r.rule(rf"^{src}\.encoders\.(\d+)\.self_attn\.(pos_bias_[uv])$",
+           rf"{dst}/layer_\1/self_attn/\2")
+    r.rule(rf"^{src}\.encoders\.(\d+)\.feed_forward\.w_1\.(weight|bias)$",
+           rf"{dst}/layer_\1/ff_w1/\2")
+    r.rule(rf"^{src}\.encoders\.(\d+)\.feed_forward\.w_2\.(weight|bias)$",
+           rf"{dst}/layer_\1/ff_w2/\2")
+    r.rule(rf"^{src}\.encoders\.(\d+)\.conv_module\.(pointwise_conv1|depthwise_conv|pointwise_conv2)\.(weight|bias)$",
+           rf"{dst}/layer_\1/conv_module/\2/\3")
+    r.rule(rf"^{src}\.encoders\.(\d+)\.conv_module\.norm\.(weight|bias)$",
+           rf"{dst}/layer_\1/conv_module/norm/\2")
+    r.rule(rf"^{src}\.encoders\.(\d+)\.(norm_(?:mha|conv|ff|final))\.(weight|bias)$",
+           rf"{dst}/layer_\1/\2/\3")
+    r.rule(rf"^{src}\.after_norm\.(weight|bias)$", rf"{dst}/after_norm/\1")
+
+
+def _add_perceiver_rules(r: Renamer, src: str, dst: str) -> None:
+    """Rules for a PerceiverResampler subtree (`perceiver.py:224-281`)."""
+    r.rule(rf"^{src}\.latents$", rf"{dst}/latents")
+    r.rule(rf"^{src}\.proj_context\.(weight|bias)$", rf"{dst}/proj_context/\1")
+    r.rule(rf"^{src}\.layers\.(\d+)\.0\.(to_q|to_kv|to_out)\.weight$",
+           rf"{dst}/attn_\1/\2/weight")
+    r.rule(rf"^{src}\.layers\.(\d+)\.1\.0\.(weight|bias)$",
+           rf"{dst}/ff_\1/proj_in/\2")
+    r.rule(rf"^{src}\.layers\.(\d+)\.1\.2\.(weight|bias)$",
+           rf"{dst}/ff_\1/proj_out/\2")
+    r.rule(rf"^{src}\.norm\.gamma$", rf"{dst}/norm/gamma")
+
+
+def unified_voice_renamer() -> Renamer:
+    r = Renamer()
+    r.rule(r"^inference_model\..*", None)       # weight-shared wrapper
+    r.rule(r"^gpt\.wte\..*", None)              # alias of mel_embedding
+    r.rule(r"^gpt\.h\.\d+\.attn\.(bias|masked_bias)$", None)  # mask buffers
+    r.rule(r"^(cond_mask_pad|emo_cond_mask_pad)\..*", None)
+    _add_conformer_rules(r, "conditioning_encoder", "conditioning_encoder")
+    _add_perceiver_rules(r, "perceiver_encoder", "perceiver_encoder")
+    _add_conformer_rules(r, "emo_conditioning_encoder", "emo_conditioning_encoder")
+    _add_perceiver_rules(r, "emo_perceiver_encoder", "emo_perceiver_encoder")
+    r.rule(r"^(text_embedding|mel_embedding|speed_emb)\.weight$", r"\1/weight")
+    r.rule(r"^(text_pos_embedding|mel_pos_embedding)\.emb\.weight$", r"\1/weight")
+    r.rule(r"^(emovec_layer|emo_layer|text_head|mel_head)\.(weight|bias)$", r"\1/\2")
+    r.rule(r"^final_norm\.(weight|bias)$", r"final_norm/\1")
+    r.rule(r"^gpt\.h\.(\d+)\.ln_(1|2)\.(weight|bias)$", r"gpt/h_\1/ln_\2/\3")
+    r.rule(r"^gpt\.h\.(\d+)\.attn\.c_(attn|proj)\.(weight|bias)$",
+           r"gpt/h_\1/attn_c_\2/\3")
+    r.rule(r"^gpt\.h\.(\d+)\.mlp\.c_(fc|proj)\.(weight|bias)$",
+           r"gpt/h_\1/mlp_c_\2/\3")
+    r.rule(r"^gpt\.ln_f\.(weight|bias)$", r"gpt/ln_f/\1")
+    return r
+
+
+def convert_unified_voice(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    return {"params": convert(sd, unified_voice_renamer())}
