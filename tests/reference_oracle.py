@@ -84,3 +84,50 @@ def install_reference_gpt():
           ["NEED_SETUP_CACHE_CLASSES_MAPPING", "QUANT_BACKEND_CLASSES_MAPPING"],
           value={})
     patch("transformers.modeling_utils", ["SequenceSummary"])
+
+
+def install_reference_s2mel():
+    """install_reference + stubs for the s2mel import chain (munch,
+    audiotools/argbind pulled in by the dead dac package)."""
+    install_reference()
+    import torch
+
+    if "munch" not in sys.modules:
+        munch = _stub_module("munch")
+
+        class Munch(dict):
+            def __getattr__(self, k):
+                return self[k]
+
+        munch.Munch = Munch
+        sys.modules["munch"] = munch
+    if "audiotools" not in sys.modules:
+        class BaseModel(torch.nn.Module):
+            INTERN: list = []
+            EXTERN: list = []
+
+        class _Empty:
+            pass
+
+        at = _stub_module("audiotools")
+        ml = _stub_module("audiotools.ml")
+        ml.BaseModel = BaseModel
+        ml.Accelerator = _Empty
+        at.AudioSignal = _Empty
+        at.STFTParams = _Empty
+        at.ml = ml
+        sys.modules.update({"audiotools": at, "audiotools.ml": ml})
+    if "argbind" not in sys.modules:
+        ab = _stub_module("argbind")
+        ab.bind = lambda *a, **k: (lambda f: f)
+        sys.modules["argbind"] = ab
+
+
+class RefArgs:
+    """Attribute bag standing in for the reference's OmegaConf node."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+    def __contains__(self, k):
+        return k in self.__dict__

@@ -1,0 +1,183 @@
+"""Flow-matching DiT estimator (semantic condition + noise -> mel velocity).
+
+Parity with reference `s2mel/modules/diffusion_transformer.py` +
+`s2mel/modules/gpt_fast/model.py` as configured by IndexTTS2: llama-style
+transformer with AdaLN(RMSNorm) conditioned on the timestep embedding,
+interleaved-pair RoPE, SwiGLU FF, full (non-causal) attention with key
+masking, long skip connection, WaveNet final head.
+
+Dead-at-inference reference pieces (x_embedder, cond_embedder for discrete
+content, content_mask_embedder, class dropout) are omitted.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voice_tts_tpu.config import DiTConfig, WaveNetConfig
+from voice_tts_tpu.models.layers import Conv1d, Linear, RMSNorm
+from voice_tts_tpu.models.s2mel.wavenet import WN
+
+
+def find_multiple(n: int, k: int) -> int:
+    return n if n % k == 0 else n + k - (n % k)
+
+
+def rope_cache(seq_len: int, head_dim: int, base: float) -> np.ndarray:
+    """(seq_len, head_dim//2, 2) cos/sin cache (reference
+    `gpt_fast/model.py:336-346`)."""
+    freqs = 1.0 / (base ** (np.arange(0, head_dim, 2)[: head_dim // 2] / head_dim))
+    t = np.arange(seq_len)
+    angles = np.outer(t, freqs)
+    return np.stack([np.cos(angles), np.sin(angles)], axis=-1).astype(np.float32)
+
+
+def apply_rope(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
+    """x (B, T, H, D); freqs (T, D//2, 2); interleaved-pair rotation."""
+    xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
+    cos = freqs[None, :, None, :, 0]
+    sin = freqs[None, :, None, :, 1]
+    out = jnp.stack([
+        xf[..., 0] * cos - xf[..., 1] * sin,
+        xf[..., 1] * cos + xf[..., 0] * sin,
+    ], axis=-1)
+    return out.reshape(x.shape).astype(x.dtype)
+
+
+class AdaptiveRMSNorm(nn.Module):
+    """weight * RMSNorm(x) + bias, (weight, bias) from the time embedding
+    (reference `gpt_fast/model.py:20-38`)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+        proj = Linear(2 * self.dim, name="project_layer")(c)  # (B, 1, 2D)
+        weight, bias = jnp.split(proj, 2, axis=-1)
+        return weight * RMSNorm(name="norm")(x) + bias
+
+
+class DiTBlock(nn.Module):
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(self, x, c, freqs, mask):
+        d = self.cfg.hidden_dim
+        h = self.cfg.num_heads
+        hd = d // h
+        b, t, _ = x.shape
+
+        y = AdaptiveRMSNorm(d, name="attention_norm")(x, c)
+        qkv = Linear(3 * d, use_bias=False, name="wqkv")(y)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = apply_rope(q.reshape(b, t, h, hd), freqs)
+        k = apply_rope(k.reshape(b, t, h, hd), freqs)
+        v = v.reshape(b, t, h, hd)
+        scores = jnp.einsum("bihd,bjhd->bhij", q, k) / math.sqrt(hd)
+        neg = jnp.finfo(scores.dtype).min
+        scores = jnp.where(mask[:, None, :, :], scores, neg)
+        probs = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.einsum("bhij,bjhd->bihd", probs, v).reshape(b, t, d)
+        x = x + Linear(d, use_bias=False, name="wo")(attn)
+
+        y = AdaptiveRMSNorm(d, name="ffn_norm")(x, c)
+        inner = find_multiple(int(2 * 4 * d / 3), 256)
+        gate = nn.silu(Linear(inner, use_bias=False, name="w1")(y))
+        up = Linear(inner, use_bias=False, name="w3")(y)
+        x = x + Linear(d, use_bias=False, name="w2")(gate * up)
+        return x
+
+
+class TimestepEmbedder(nn.Module):
+    """Sinusoidal timestep embedding + MLP (reference
+    `diffusion_transformer.py:19-60`; scale=1000, max_period=10000)."""
+
+    hidden: int
+    freq_dim: int = 256
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        half = self.freq_dim // 2
+        freqs = jnp.exp(-math.log(10000.0) * jnp.arange(half) / half)
+        args = 1000.0 * t[:, None].astype(jnp.float32) * freqs[None]
+        emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+        emb = Linear(self.hidden, name="mlp_0")(emb)
+        emb = nn.silu(emb)
+        return Linear(self.hidden, name="mlp_2")(emb)
+
+
+class FinalLayer(nn.Module):
+    """adaLN-modulated LayerNorm + linear (reference
+    `diffusion_transformer.py:87-101`)."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+        mod = Linear(2 * self.hidden, name="adaLN_1")(nn.silu(c))
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + 1e-6)
+        y = y * (1 + scale[:, None, :]) + shift[:, None, :]
+        return Linear(self.hidden, name="linear")(y)
+
+
+class DiT(nn.Module):
+    """Velocity estimator.
+
+    Inputs mirror the reference estimator call
+    (`flow_matching.py:96-101`): x (B, 80, T) noisy mel, prompt_x (B, 80, T)
+    pinned prompt mel, x_lens (B,), t (B,), style (B, 192), cond (B, T, 512).
+    """
+
+    cfg: DiTConfig
+    wavenet: WaveNetConfig
+
+    @nn.compact
+    def __call__(self, x, prompt_x, x_lens, t, style, cond):
+        c = self.cfg
+        b, _, tlen = x.shape
+
+        t1 = TimestepEmbedder(c.hidden_dim, name="t_embedder")(t)  # (B, D)
+        cond = Linear(c.hidden_dim, name="cond_projection")(cond)
+
+        xt = jnp.transpose(x, (0, 2, 1))
+        pt = jnp.transpose(prompt_x, (0, 2, 1))
+        x_in = jnp.concatenate(
+            [xt, pt, cond, jnp.broadcast_to(style[:, None, :],
+                                            (b, tlen, style.shape[-1]))], axis=-1)
+        h = Linear(c.hidden_dim, name="cond_x_merge_linear")(x_in)
+
+        mask = (jnp.arange(tlen)[None, :] < x_lens[:, None])  # (B, T)
+        attn_mask = jnp.broadcast_to(mask[:, None, :], (b, tlen, tlen))
+
+        freqs = jnp.asarray(rope_cache(tlen, c.hidden_dim // c.num_heads,
+                                       c.rope_base))
+        c_emb = t1[:, None, :]
+        for i in range(c.depth):
+            h = DiTBlock(c, name=f"block_{i}")(h, c_emb, freqs, attn_mask)
+        h = AdaptiveRMSNorm(c.hidden_dim, name="transformer_norm")(h, c_emb)
+
+        if c.long_skip_connection:
+            h = Linear(c.hidden_dim, name="skip_linear")(
+                jnp.concatenate([h, xt], axis=-1))
+
+        # wavenet final head
+        w = self.wavenet
+        t2 = TimestepEmbedder(w.hidden_dim, name="t_embedder2")(t)
+        y = Linear(w.hidden_dim, name="conv1")(h)
+        y = jnp.transpose(y, (0, 2, 1))
+        x_mask = mask[:, None, :].astype(y.dtype)
+        y = WN(w, name="wavenet")(y, x_mask, g=t2[:, :, None])
+        y = jnp.transpose(y, (0, 2, 1)) + Linear(w.hidden_dim,
+                                                 name="res_projection")(h)
+        y = FinalLayer(w.hidden_dim, name="final_layer")(y, t1)
+        y = jnp.transpose(y, (0, 2, 1))
+        return Conv1d(c.in_channels, 1, name="conv2")(y)

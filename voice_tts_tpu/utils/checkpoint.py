@@ -305,3 +305,66 @@ def unified_voice_renamer() -> Renamer:
 
 def convert_unified_voice(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": convert(sd, unified_voice_renamer())}
+
+
+# ---------------------------------------------------------------------------
+# s2mel / MyModel (reference `s2mel/modules/commons.py:388-438` + DiT + WN)
+# ---------------------------------------------------------------------------
+
+def s2mel_renamer(num_sampling_ratios: int) -> Renamer:
+    r = Renamer()
+    # dead-at-inference / recomputed pieces
+    r.rule(r".*t_embedder\d*\.freqs$", None)
+    r.rule(r"^models\.cfm\.estimator\.input_pos$", None)
+    r.rule(r"^models\.cfm\.estimator\.x_embedder\..*", None)
+    r.rule(r"^models\.cfm\.estimator\.(cond_embedder|content_mask_embedder)\..*", None)
+    r.rule(r"^models\.length_regulator\.(embedding\.weight|mask_token)$", None)
+
+    r.rule(r"^models\.gpt_layer\.(\d)\.(weight|bias)$", r"gpt_layer_\1/\2")
+    r.rule(r"^models\.length_regulator\.content_in_proj\.(weight|bias)$",
+           r"length_regulator/content_in_proj/\1")
+
+    def lr_model(m):
+        idx, leaf = int(m.group(1)), m.group(2)
+        if idx == 3 * num_sampling_ratios:
+            return f"length_regulator/conv_out/{leaf}"
+        if idx % 3 == 0:
+            return f"length_regulator/conv_{idx // 3}/{leaf}"
+        if idx % 3 == 1:
+            return f"length_regulator/norm_{idx // 3}/{leaf}"
+        raise KeyError(f"unexpected length_regulator.model index {idx}")
+
+    r.rule(r"^models\.length_regulator\.model\.(\d+)\.(weight|bias)$", lr_model)
+
+    e = r"^models\.cfm\.estimator\."
+    r.rule(e + r"t_embedder\.mlp\.(\d)\.(weight|bias)$", r"estimator/t_embedder/mlp_\1/\2")
+    r.rule(e + r"t_embedder2\.mlp\.(\d)\.(weight|bias)$", r"estimator/t_embedder2/mlp_\1/\2")
+    r.rule(e + r"transformer\.layers\.(\d+)\.attention\.(wqkv|wo)\.weight$",
+           r"estimator/block_\1/\2/weight")
+    r.rule(e + r"transformer\.layers\.(\d+)\.feed_forward\.(w[123])\.weight$",
+           r"estimator/block_\1/\2/weight")
+    r.rule(e + r"transformer\.layers\.(\d+)\.(attention_norm|ffn_norm)\.project_layer\.(weight|bias)$",
+           r"estimator/block_\1/\2/project_layer/\3")
+    r.rule(e + r"transformer\.layers\.(\d+)\.(attention_norm|ffn_norm)\.norm\.weight$",
+           r"estimator/block_\1/\2/norm/weight")
+    r.rule(e + r"transformer\.norm\.project_layer\.(weight|bias)$",
+           r"estimator/transformer_norm/project_layer/\1")
+    r.rule(e + r"transformer\.norm\.norm\.weight$", r"estimator/transformer_norm/norm/weight")
+    r.rule(e + r"(cond_projection|cond_x_merge_linear|skip_linear|conv1|res_projection)\.(weight|bias)$",
+           r"estimator/\1/\2")
+    r.rule(e + r"conv2\.(weight|bias)$", r"estimator/conv2/\1")
+    r.rule(e + r"final_layer\.adaLN_modulation\.1\.(weight|bias)$",
+           r"estimator/final_layer/adaLN_1/\1")
+    r.rule(e + r"final_layer\.linear\.(weight|bias)$", r"estimator/final_layer/linear/\1")
+    r.rule(e + r"wavenet\.in_layers\.(\d+)\.conv\.conv\.(weight|bias)$",
+           r"estimator/wavenet/in_layer_\1/conv/\2")
+    r.rule(e + r"wavenet\.res_skip_layers\.(\d+)\.conv\.conv\.(weight|bias)$",
+           r"estimator/wavenet/res_skip_\1/conv/\2")
+    r.rule(e + r"wavenet\.cond_layer\.conv\.conv\.(weight|bias)$",
+           r"estimator/wavenet/cond_layer/conv/\1")
+    return r
+
+
+def convert_s2mel(sd: Mapping[str, np.ndarray],
+                  num_sampling_ratios: int = 2) -> Dict[str, Any]:
+    return {"params": convert(sd, s2mel_renamer(num_sampling_ratios))}
