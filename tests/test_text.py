@@ -1,0 +1,113 @@
+"""Text frontend: sp model parsing, BPE merges, segmentation, emotion, TN."""
+
+import numpy as np
+
+from voice_tts_tpu.text.emotion import (
+    EMOTIONS, create_emotion_vector, normalize_emo_vec, normalize_emotion_label,
+)
+from voice_tts_tpu.text.normalizer import TextNormalizer, zh_read_integer
+from voice_tts_tpu.text.sp_model import Piece, PieceType, parse_model, serialize_model
+from voice_tts_tpu.text.tokenizer import SentencePieceBPE, TextTokenizer
+
+
+def _toy_vocab():
+    # scores drive merge order: higher merges first
+    pieces = [
+        Piece("<unk>", 0.0, PieceType.UNKNOWN),
+        Piece("<s>", 0.0, PieceType.CONTROL),
+        Piece("</s>", 0.0, PieceType.CONTROL),
+        Piece("▁", -2.0), Piece("a", -3.0), Piece("b", -3.5), Piece("c", -4.0),
+        Piece("ab", -1.0), Piece("abc", -0.5), Piece("▁ab", -1.5),
+        Piece("你", -3.0), Piece("好", -3.0), Piece("▁你", -2.5),
+        Piece("▁.", -2.0), Piece(".", -3.0), Piece(",", -3.0), Piece("▁,", -2.2),
+        Piece("-", -3.0), Piece("!", -3.0), Piece("?", -3.0),
+    ]
+    return pieces
+
+
+def test_sp_model_roundtrip():
+    pieces = _toy_vocab()
+    data = serialize_model(pieces)
+    parsed = parse_model(data)
+    assert [p.piece for p in parsed] == [p.piece for p in pieces]
+    assert [p.type for p in parsed] == [p.type for p in pieces]
+    np.testing.assert_allclose([p.score for p in parsed],
+                               [p.score for p in pieces], rtol=1e-6)
+
+
+def test_bpe_greedy_merge_order():
+    sp = SentencePieceBPE(_toy_vocab())
+    # "abc": merges ab (-1.0) first, then abc (-0.5): final piece "abc"
+    assert sp.encode_pieces("abc") == ["▁", "abc"]
+    # "▁ab" beats keeping ▁ + ab separate? score(▁ab)=-1.5: merge path:
+    # [▁ a b] -> ab merged first (-1.0 > -1.5 considering pair (▁,a)? pair
+    # (a,b)->ab score -1.0 is highest -> [▁ ab]; then (▁,ab)->▁ab -1.5 merge.
+    assert sp.encode_pieces("ab") == ["▁ab"]
+    assert sp.encode_pieces("你好") == ["▁你", "好"]
+    ids = sp.encode("ab abc")
+    assert sp.decode(ids) == "ab abc"
+
+
+def test_unknown_tokens_map_to_unk():
+    sp = SentencePieceBPE(_toy_vocab())
+    ids = sp.encode("az")
+    assert sp.unk_id() in ids
+
+
+def test_tokenizer_segmentation():
+    sp = SentencePieceBPE(_toy_vocab())
+    tok = TextTokenizer(sp)
+    # sentence split at '.', merge small adjacent segments
+    tokens = ["a", "b", ".", "a", "b", ".", "a", "b", "c", "."]
+    segs = tok.split_segments(tokens, max_text_tokens_per_segment=6)
+    assert all(len(s) <= 6 for s in segs)
+    assert sum(len(s) for s in segs) == len(tokens)
+    # merged: first two sentences fit in one segment of 6
+    assert segs[0] == ["a", "b", ".", "a", "b", "."]
+
+    # comma fallback when a sentence exceeds the limit
+    long_tokens = ["a"] * 4 + [","] + ["b"] * 4 + ["."]
+    segs = tok.split_segments(long_tokens, max_text_tokens_per_segment=6)
+    assert all(len(s) <= 6 for s in segs)
+    assert sum(len(s) for s in segs) == len(long_tokens)
+
+    # hard split with no separators at all
+    segs = tok.split_segments(["a"] * 15, max_text_tokens_per_segment=4)
+    assert all(len(s) <= 4 for s in segs)
+    assert sum(len(s) for s in segs) == 15
+
+
+def test_emotion_vectors():
+    assert normalize_emotion_label("joyful") == "happy"
+    assert normalize_emotion_label("生气") == "angry"
+    assert normalize_emotion_label("whatever-unknown") == "calm"
+
+    v = create_emotion_vector("happy", 0.8)
+    assert v == [0.8, 0, 0, 0, 0, 0, 0, 0]
+
+    v = create_emotion_vector({"高兴": 0.7, "平静": 0.3, "joyful": 0.5})
+    assert v[0] == 0.7 and v[-1] == 0.3  # max-merge for happy
+
+    capped = normalize_emo_vec([1.0] * 8, apply_bias=False)
+    assert abs(sum(capped) - 0.8) < 1e-9
+
+
+def test_zh_numbers():
+    cases = {0: "零", 10: "十", 14: "十四", 25: "二十五", 105: "一百零五",
+             110: "一百一十", 1001: "一千零一", 10250: "一万零二百五十",
+             200000000: "二亿"}
+    for num, expect in cases.items():
+        assert zh_read_integer(num) == expect, (num, zh_read_integer(num))
+
+
+def test_normalizer_reference_cases():
+    n = TextNormalizer()
+    n.load()
+    assert n.normalize("我爱你！") == "我爱你!"
+    assert n.normalize("where's the money?") == "where is the money?"
+    assert "二点五" in n.normalize("2.5平方电线")
+    assert "四百六十五" in n.normalize("共465篇，约315万字")
+    out = n.normalize("晕XUAN4是一种GAN3觉")
+    assert "XVAN4" in out and "GAN3" in out  # pinyin preserved + jqx u->v
+    assert "克里斯托弗-诺兰" in n.normalize("克里斯托弗·诺兰执导")
+    assert n.normalize("2002年的第一场雪") == "二零零二年的第一场雪"
