@@ -128,3 +128,35 @@ def test_wav_roundtrip():
     decoded, got_sr = decode_audio_bytes(data)
     assert got_sr == sr
     np.testing.assert_allclose(decoded, x.astype(np.float32) / 32768.0, atol=1e-6)
+
+
+def test_seamless_masked_padding_matches_unpadded():
+    """Zero-padded fixed-shape input + valid_samples == exact-length output."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    true = 9000
+    audio = rng.uniform(-0.5, 0.5, size=true).astype(np.float32)
+
+    sf = SeamlessFeatures()
+    exact, exact_mask = sf(audio[None, :])
+
+    padded = np.zeros((1, 16000), dtype=np.float32)
+    padded[0, :true] = audio
+    feats, mask = sf(padded, jnp.asarray([true]))
+    n_valid = int(np.asarray(mask).sum())
+    assert n_valid == np.asarray(exact_mask).sum()
+    np.testing.assert_allclose(np.asarray(feats)[0, :n_valid],
+                               np.asarray(exact)[0, :n_valid], atol=2e-4,
+                               rtol=1e-3)
+
+
+def test_mel_prepadded_matches_direct():
+    from voice_tts_tpu.config import MelConfig as MC
+
+    cfg = MC()
+    m = MelSpectrogram(cfg)
+    audio = np.random.default_rng(6).uniform(-0.5, 0.5, (1, 12800)).astype(np.float32)
+    direct = np.asarray(m(audio))
+    pre = np.asarray(m.on_prepadded(np.asarray(m.pad_reflect(audio))))
+    np.testing.assert_allclose(pre, direct, atol=1e-6)

@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from voice_tts_tpu.config import CAMPPlusConfig, RepCodecConfig, W2VBertConfig
 from voice_tts_tpu.models.conditioning import CAMPPlus, RepCodec, Wav2Vec2Bert
@@ -125,3 +126,35 @@ def test_w2v_bert_parity():
     ours1 = np.asarray(Wav2Vec2Bert(cfg1).apply(params1, feats))
     np.testing.assert_allclose(ours1, out.hidden_states[1].numpy(), atol=2e-5,
                                rtol=1e-4)
+
+
+@needs_ref
+def test_campplus_masked_padding_parity():
+    """Padded fbank + valid_len must equal the reference on the exact length."""
+    install_reference()
+    import torch
+    from indextts.s2mel.modules.campplus.DTDNN import CAMPPlus as RefCAMPPlus
+
+    torch.manual_seed(3)
+    ref = RefCAMPPlus(feat_dim=80, embedding_size=192)
+    with torch.no_grad():
+        for name, buf in ref.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(torch.randn_like(buf) * 0.1)
+            elif name.endswith("running_var"):
+                buf.copy_(torch.rand_like(buf) + 0.5)
+    ref.eval()
+
+    rng = np.random.default_rng(4)
+    true_len = 117
+    feat = rng.normal(size=(1, true_len, 80)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(feat)).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_campplus(sd)
+    padded = np.zeros((1, 160, 80), dtype=np.float32)
+    padded[:, :true_len] = feat
+    ours = np.asarray(CAMPPlus(CAMPPlusConfig(embedding_size=192)).apply(
+        params, padded, jnp.asarray([true_len])))
+    np.testing.assert_allclose(ours, ref_out, atol=5e-4, rtol=2e-3)

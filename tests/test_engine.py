@@ -1,0 +1,66 @@
+"""End-to-end engine test on the tiny config with random weights."""
+
+import numpy as np
+
+from voice_tts_tpu.audio import decode_audio_bytes, encode_wav_int16
+from voice_tts_tpu.config import TTSConfig
+from voice_tts_tpu.engine import TTSEngine
+
+
+def _tiny_engine():
+    cfg = TTSConfig.tiny()
+    cfg.engine.max_prompt_seconds = 1.0
+    cfg.generation.max_mel_tokens = 24
+    cfg.generation.num_beams = 1
+    # w2v frontend in tiny cfg still consumes 160-dim stacked features
+    cfg.w2v_bert.feature_projection_input_dim = 160
+    cfg.gpt.condition_module.input_size = cfg.w2v_bert.hidden_size
+    cfg.gpt.emo_condition_module.input_size = cfg.w2v_bert.hidden_size
+    cfg.semantic_codec.hidden_size = cfg.w2v_bert.hidden_size
+    cfg.s2mel.dit.content_dim = cfg.s2mel.length_regulator.channels
+    cfg.s2mel.gpt_dim = cfg.gpt.model_dim
+    cfg.s2mel.gpt_layer_out = cfg.w2v_bert.hidden_size
+    cfg.s2mel.dit.in_channels = cfg.mel.num_mels
+    cfg.s2mel.dit.style_dim = cfg.campplus.embedding_size
+    cfg.s2mel.wavenet.hidden_dim = cfg.s2mel.dit.hidden_dim
+    cfg.vocoder.num_mels = cfg.mel.num_mels
+    return TTSEngine.random(cfg, seed=0)
+
+
+def test_engine_end_to_end(tmp_path):
+    engine = _tiny_engine()
+    sr = 22050
+    t = np.arange(int(0.6 * sr)) / sr
+    tone = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    prompt = encode_wav_int16(tone * 32767, sr)
+
+    out = tmp_path / "out.wav"
+    res = engine.infer(prompt, "hello world.", str(out))
+    assert res.sample_rate == 22050
+    assert res.wav.ndim == 1 and len(res.wav) > 0
+    assert np.isfinite(res.wav).all()
+    assert res.metrics["rtf"] > 0
+    for key in ("gpt_gen_time", "gpt_forward_time", "s2mel_time", "bigvgan_time"):
+        assert key in res.metrics
+
+    decoded, got_sr = decode_audio_bytes(out.read_bytes())
+    assert got_sr == 22050 and len(decoded) == len(res.wav)
+
+    # second call with the same prompt hits the conditioning cache
+    res2 = engine.infer(prompt, "short.", None)
+    assert len(engine._spk_cache) == 1
+    assert len(res2.wav) > 0
+
+
+def test_engine_emotion_controls():
+    engine = _tiny_engine()
+    sr = 22050
+    t = np.arange(int(0.5 * sr)) / sr
+    spk = encode_wav_int16((0.4 * np.sin(2 * np.pi * 220 * t)) * 32767, sr)
+    emo = encode_wav_int16((0.3 * np.sin(2 * np.pi * 330 * t)) * 32767, sr)
+
+    r1 = engine.infer(spk, "a.", None, emo_audio_prompt=emo, emo_alpha=0.5)
+    assert len(r1.wav) > 0
+    r2 = engine.infer(spk, "a.", None,
+                      emo_vector=[0.6, 0, 0, 0, 0, 0, 0, 0.2])
+    assert len(r2.wav) > 0

@@ -93,26 +93,40 @@ class SeamlessFeatures:
         return f // self.stride
 
     @partial(jax.jit, static_argnums=0)
-    def __call__(self, audio: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """audio (B, T) -> (input_features (B, F', 160), attention_mask (B, F'))."""
-        feats = self.fbank(audio)  # (B, F, 80)
-        mean = jnp.mean(feats, axis=1, keepdims=True)
-        # torch ddof=1 variance
-        n = feats.shape[1]
-        var = jnp.sum((feats - mean) ** 2, axis=1, keepdims=True) / max(n - 1, 1)
-        feats = (feats - mean) / jnp.sqrt(var + 1e-7)
+    def __call__(self, audio: jnp.ndarray,
+                 valid_samples: jnp.ndarray | None = None
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """audio (B, T) -> (input_features (B, F', 160), attention_mask (B, F')).
 
+        `valid_samples` (B,) marks the true audio length inside a zero-padded
+        fixed-shape buffer; normalization statistics and the attention mask
+        then cover valid frames only, matching HF's per-utterance behaviour.
+        """
+        feats = self.fbank(audio)  # (B, F, 80)
         b, f, c = feats.shape
+        if valid_samples is not None:
+            valid_frames = jnp.maximum(
+                (valid_samples - self.fbank.frame_length)
+                // self.fbank.frame_shift + 1, 0)
+            fmask = (jnp.arange(f)[None, :] < valid_frames[:, None])
+            m = fmask[..., None].astype(feats.dtype)
+            n = jnp.maximum(valid_frames, 2)[:, None, None].astype(feats.dtype)
+            mean = jnp.sum(feats * m, axis=1, keepdims=True) / n
+            var = jnp.sum(((feats - mean) * m) ** 2, axis=1, keepdims=True) / (n - 1)
+            feats = (feats - mean) / jnp.sqrt(var + 1e-7) * m
+        else:
+            valid_frames = jnp.full((b,), f, dtype=jnp.int32)
+            mean = jnp.mean(feats, axis=1, keepdims=True)
+            var = jnp.sum((feats - mean) ** 2, axis=1, keepdims=True) / max(f - 1, 1)
+            feats = (feats - mean) / jnp.sqrt(var + 1e-7)
+
         pad = (-f) % self.stride
         if pad:
             feats = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
         fp = feats.shape[1]
         stacked = feats.reshape(b, fp // self.stride, c * self.stride)
-        # frames that exist pre-padding are valid; with pad < stride the last
-        # stacked frame is valid iff it contains >= 1 real frame (HF keeps it:
-        # mask indices where idx % stride == 1, real length f means last
-        # stacked frame valid when f % stride == 1 ... i.e. pad == 1)
-        mask = jnp.ones((b, fp // self.stride), dtype=jnp.int32)
+        mask = (jnp.arange(fp // self.stride)[None, :]
+                < (valid_frames // self.stride)[:, None]).astype(jnp.int32)
         return stacked, mask
 
 

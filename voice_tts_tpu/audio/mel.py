@@ -41,6 +41,25 @@ class MelSpectrogram:
         t = num_samples + 2 * self._pad
         return 1 + (t - self.cfg.n_fft) // self.cfg.hop_size
 
+    def pad_reflect(self, audio):
+        """The reference's reflect padding, exposed so callers with
+        fixed-shape zero-padded buffers can pad at the *true* boundary
+        host-side before calling `on_prepadded`."""
+        import numpy as np
+        return np.pad(np.asarray(audio), [(0, 0)] * (audio.ndim - 1)
+                      + [(self._pad, self._pad)], mode="reflect")
+
+    @partial(jax.jit, static_argnums=0)
+    def on_prepadded(self, padded: jnp.ndarray) -> jnp.ndarray:
+        """log-mel of an already reflect-padded signal (B, T + 2*pad)."""
+        frames = frame_signal(padded, self.cfg.n_fft, self.cfg.hop_size)
+        power = frame_power_spectrum(frames, self._cos, self._sin)
+        mag = jnp.sqrt(power + 1e-9)
+        mel = jnp.matmul(mag, self._mel_t, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        logmel = jnp.log(jnp.clip(mel, min=1e-5))
+        return jnp.transpose(logmel, (0, 2, 1))
+
     @partial(jax.jit, static_argnums=0)
     def __call__(self, audio: jnp.ndarray) -> jnp.ndarray:
         """audio (B, T) float in [-1, 1] -> log-mel (B, n_mels, F)."""

@@ -1,0 +1,521 @@
+"""TTSEngine: the IndexTTS2-equivalent inference orchestrator, TPU-native.
+
+Pipeline parity with reference `indextts/infer_v2.py` (`IndexTTS2.infer` /
+`infer_generator`), redesigned around jitted fixed-shape stage graphs:
+
+- prompt conditioning runs at one static 15 s shape with exact masking
+  (cached per prompt content hash, improving on the identity-keyed cache at
+  `infer_v2.py:507-550`);
+- text decode / latent / s2mel / vocoder stages compile per shape bucket;
+- the GPT AR loop is a jitted `lax.while_loop` (see models/gpt/decode.py).
+
+Stage timer fields keep the reference names (gpt_gen_time, gpt_forward_time,
+s2mel_time, bigvgan_time, rtf — `infer_v2.py:755-761`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import math
+import time
+from functools import partial
+from typing import Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voice_tts_tpu.audio import (
+    KaldiFbank, MelSpectrogram, Resampler, encode_wav_int16, load_prompt_audio,
+)
+from voice_tts_tpu.audio.kaldi import SeamlessFeatures
+from voice_tts_tpu.config import TTSConfig
+from voice_tts_tpu.engine import post
+from voice_tts_tpu.logging import logger
+from voice_tts_tpu.models.conditioning import CAMPPlus, RepCodec, Wav2Vec2Bert
+from voice_tts_tpu.models.conditioning.repcodec import repcodec_vq2emb
+from voice_tts_tpu.models.gpt import UnifiedVoice
+from voice_tts_tpu.models.gpt.decode import decode as gpt_decode
+from voice_tts_tpu.models.s2mel import S2Mel
+from voice_tts_tpu.models.s2mel.cfm import cfm_inference
+from voice_tts_tpu.models.s2mel.s2mel import (
+    assemble_condition, place_prompt_mel, slice_generated,
+)
+from voice_tts_tpu.models.vocoder import BigVGAN
+from voice_tts_tpu.text import TextNormalizer, TextTokenizer
+from voice_tts_tpu.text.emotion import EMOTIONS
+
+
+@dataclasses.dataclass
+class InferenceResult:
+    wav: np.ndarray              # int16 mono
+    sample_rate: int
+    metrics: Dict[str, float]
+
+
+class HashTokenizer:
+    """Deterministic char-hash tokenizer for random-weight benchmarking when
+    no BPE model artifact is available."""
+
+    punctuation_marks_tokens = [".", "!", "?"]
+
+    def __init__(self, vocab_size: int):
+        self.vocab_size = vocab_size
+        self.unk_token_id = 2
+
+    def tokenize(self, text: str) -> List[str]:
+        return [c for c in text if not c.isspace()]
+
+    def convert_tokens_to_ids(self, tokens) -> List[int]:
+        if isinstance(tokens, str):
+            tokens = [tokens]
+        base = self.vocab_size - 10
+        return [int(hashlib.md5(t.encode()).hexdigest(), 16) % base + 3
+                for t in tokens]
+
+    def split_segments(self, tokens: List[str], max_text_tokens_per_segment=120,
+                       quick_streaming_tokens: int = 0) -> List[List[str]]:
+        return TextTokenizer.split_segments_by_token(
+            tokens, self.punctuation_marks_tokens, max_text_tokens_per_segment,
+            quick_streaming_tokens)
+
+
+class TTSEngine:
+    SR_MEL = 22050
+    SR_COND = 16000
+
+    def __init__(self, cfg: TTSConfig, params: Dict[str, dict], tokenizer,
+                 extras: Optional[Dict[str, np.ndarray]] = None,
+                 dtype: jnp.dtype = jnp.float32):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.dtype = dtype
+        extras = extras or {}
+
+        # models
+        self.gpt = UnifiedVoice(cfg.gpt)
+        self.s2mel = S2Mel(cfg.s2mel)
+        self.vocoder = BigVGAN(cfg.vocoder)
+        self.campplus = CAMPPlus(cfg.campplus)
+        self.repcodec = RepCodec(cfg.semantic_codec)
+        self.w2v = Wav2Vec2Bert(cfg.w2v_bert)
+
+        # frontends
+        self.mel_fn = MelSpectrogram(cfg.mel)
+        self.seamless = SeamlessFeatures(sample_rate=self.SR_COND)
+        self.fbank = KaldiFbank(sample_rate=self.SR_COND, waveform_scale=32768.0)
+
+        h = cfg.w2v_bert.hidden_size
+        self.w2v_mean = jnp.asarray(extras.get("w2v_mean", np.zeros(h, np.float32)))
+        self.w2v_std = jnp.asarray(extras.get("w2v_std", np.ones(h, np.float32)))
+        self.emo_matrix = extras.get("emo_matrix")  # list of (n_i, model_dim)
+        self.spk_matrix = extras.get("spk_matrix")  # list of (n_i, 192)
+
+        # static prompt shapes (15 s)
+        self.prompt_samples_16k = int(cfg.engine.max_prompt_seconds * self.SR_COND)
+        self.prompt_samples_22k = int(cfg.engine.max_prompt_seconds * self.SR_MEL)
+        self.prompt_mel_frames = self.mel_fn.num_frames(self.prompt_samples_22k)
+        self.w2v_frames = self.seamless.num_output_frames(self.prompt_samples_16k)
+
+        self._resamplers: Dict[Tuple[int, int], Resampler] = {}
+        self._spk_cache: Dict[str, dict] = {}
+        self._emo_cache: Dict[str, jnp.ndarray] = {}
+        self._rng = jax.random.PRNGKey(cfg.engine.seed)
+
+        self._build_jit_fns()
+
+    # ------------------------------------------------------------------
+    # factories
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def random(cls, cfg: TTSConfig, seed: int = 0) -> "TTSEngine":
+        """Random-weight engine (benchmarks / tests; no checkpoint needed)."""
+        key = jax.random.PRNGKey(seed)
+        keys = jax.random.split(key, 8)
+        c = cfg
+
+        gpt = UnifiedVoice(c.gpt)
+        text = jnp.zeros((1, 8), dtype=jnp.int32)
+        gpt_params = gpt.init(
+            keys[0], jnp.zeros((1, 6, c.gpt.condition_module.input_size)),
+            jnp.zeros((1, 6, c.gpt.emo_condition_module.input_size)),
+            text, jnp.asarray([8]), jnp.zeros((1, 6), dtype=jnp.int32),
+            jnp.asarray([6]), method=UnifiedVoice.init_all)
+
+        s2 = S2Mel(c.s2mel)
+        d = c.s2mel.dit
+        s2_params = s2.init(
+            keys[1], jnp.zeros((1, 6, c.semantic_codec.hidden_size)),
+            jnp.asarray([6]), jnp.asarray([8]), 8,
+            jnp.zeros((1, d.in_channels, 8)), jnp.zeros((1, d.in_channels, 8)),
+            jnp.asarray([8]), jnp.zeros((1,)), jnp.zeros((1, d.style_dim)),
+            jnp.zeros((1, 4, c.s2mel.gpt_dim)))
+
+        voc = BigVGAN(c.vocoder)
+        voc_params = voc.init(keys[2], jnp.zeros((1, c.vocoder.num_mels, 8)))
+
+        camp = CAMPPlus(c.campplus).init(
+            keys[3], jnp.zeros((1, 16, c.campplus.feat_dim)))
+        rep = RepCodec(c.semantic_codec).init(
+            keys[4], jnp.zeros((1, 8, c.semantic_codec.hidden_size)))
+        w2v = Wav2Vec2Bert(c.w2v_bert).init(
+            keys[5], jnp.zeros((1, 8, c.w2v_bert.feature_projection_input_dim)))
+
+        emo_dim = c.gpt.model_dim
+        extras = {
+            "w2v_mean": np.zeros(c.w2v_bert.hidden_size, np.float32),
+            "w2v_std": np.ones(c.w2v_bert.hidden_size, np.float32),
+            "emo_matrix": [np.asarray(jax.random.normal(keys[6], (n, emo_dim)))
+                           * 0.05 for n in c.engine.emo_num],
+            "spk_matrix": [np.asarray(jax.random.normal(keys[7], (n, c.campplus.embedding_size)))
+                           for n in c.engine.emo_num],
+        }
+        params = {"gpt": gpt_params, "s2mel": s2_params, "vocoder": voc_params,
+                  "campplus": camp, "repcodec": rep, "w2v": w2v}
+        return cls(cfg, params, HashTokenizer(c.gpt.number_text_tokens), extras)
+
+    # ------------------------------------------------------------------
+    # jitted stage graphs
+    # ------------------------------------------------------------------
+
+    def _build_jit_fns(self):
+        cfg = self.cfg
+
+        @jax.jit
+        def prompt_features(w2v_params, rep_params, camp_params, s2_params,
+                            audio16, n16, audio22_prepad, mel_frames):
+            feats, mask = self.seamless(audio16, n16)
+            emb = self.w2v.apply(w2v_params, feats, mask)
+            emb = (emb - self.w2v_mean) / self.w2v_std
+            w2v_len = mask.sum(axis=1)
+
+            _, s_ref = self.repcodec.apply(rep_params, emb)
+            ref_mel = self.mel_fn.on_prepadded(audio22_prepad)
+
+            fb = self.fbank(audio16)
+            fb_frames = jnp.maximum((n16 - 400) // 160 + 1, 0)
+            fmask = (jnp.arange(fb.shape[1])[None, :] < fb_frames[:, None])
+            fmean = (jnp.sum(fb * fmask[..., None], axis=1, keepdims=True)
+                     / fb_frames[:, None, None])
+            fb = (fb - fmean) * fmask[..., None]
+            style = self.campplus.apply(camp_params, fb, fb_frames)
+
+            prompt_condition = self.s2mel.apply(
+                s2_params, s_ref, w2v_len, mel_frames, self.prompt_mel_frames,
+                method=S2Mel.regulate)
+            return emb, w2v_len, ref_mel, style, prompt_condition
+
+        self._prompt_features = prompt_features
+
+        @jax.jit
+        def emo_features(w2v_params, audio16, n16):
+            feats, mask = self.seamless(audio16, n16)
+            emb = self.w2v.apply(w2v_params, feats, mask)
+            emb = (emb - self.w2v_mean) / self.w2v_std
+            return emb, mask.sum(axis=1)
+
+        self._emo_features = emo_features
+
+        @jax.jit
+        def gpt_conditioning(gpt_params, spk_emb, spk_len):
+            return self.gpt.apply(gpt_params, spk_emb, spk_len,
+                                  method=UnifiedVoice.get_conditioning)
+
+        self._gpt_conditioning = gpt_conditioning
+
+        @jax.jit
+        def gpt_emovec(gpt_params, emb, length):
+            return self.gpt.apply(gpt_params, emb, length,
+                                  method=UnifiedVoice.get_emovec)
+
+        self._gpt_emovec = gpt_emovec
+
+        @partial(jax.jit, static_argnames=("code_bucket", "mel_bucket"))
+        def s2mel_chain(s2_params, rep_params, latent, codes, code_len,
+                        prompt_condition, prompt_len, ref_mel, style, rng,
+                        code_bucket, mel_bucket):
+            latent2 = self.s2mel.apply(s2_params, latent, method=S2Mel.gpt_layer)
+            s_infer = repcodec_vq2emb(rep_params, codes) + latent2
+            target_len = jnp.floor(code_len.astype(jnp.float32)
+                                   * cfg.s2mel.mel_scale_factor).astype(jnp.int32)
+            cond = self.s2mel.apply(s2_params, s_infer, code_len, target_len,
+                                    mel_bucket, method=S2Mel.regulate)
+            total_max = self.prompt_mel_frames + mel_bucket
+            cat, total_len = assemble_condition(prompt_condition, prompt_len,
+                                                cond, target_len, total_max)
+            prompt_x = place_prompt_mel(ref_mel, prompt_len, total_max)
+
+            def dit_apply(p, *a):
+                return self.s2mel.apply(p, *a, method=S2Mel.velocity)
+
+            mel = cfm_inference(dit_apply, s2_params, cat, total_len, prompt_x,
+                                prompt_len, style, rng,
+                                cfg.engine.diffusion_steps,
+                                cfg.engine.inference_cfg_rate)
+            return slice_generated(mel, prompt_len, mel_bucket), target_len
+
+        self._s2mel_chain = s2mel_chain
+
+        @jax.jit
+        def vocode(voc_params, mel):
+            return self.vocoder.apply(voc_params, mel)
+
+        self._vocode = vocode
+
+        @partial(jax.jit, static_argnames=())
+        def gpt_latent(gpt_params, cond, emovec, text, text_len, codes, code_len):
+            return self.gpt.apply(gpt_params, cond, emovec, text, text_len,
+                                  codes, code_len)
+
+        self._gpt_latent = gpt_latent
+
+    # ------------------------------------------------------------------
+    # prompt handling
+    # ------------------------------------------------------------------
+
+    def _resample(self, audio: np.ndarray, src: int, dst: int) -> np.ndarray:
+        if src == dst:
+            return audio
+        key = (src, dst)
+        if key not in self._resamplers:
+            self._resamplers[key] = Resampler(src, dst)
+        return np.asarray(self._resamplers[key](audio[None, :]))[0]
+
+    @staticmethod
+    def _content_key(audio_input) -> str:
+        if isinstance(audio_input, (bytes, bytearray)):
+            return hashlib.sha256(audio_input).hexdigest()
+        if isinstance(audio_input, str):
+            return "path:" + audio_input
+        arr = np.asarray(audio_input[0] if isinstance(audio_input, tuple)
+                         else audio_input)
+        return hashlib.sha256(arr.tobytes()).hexdigest()
+
+    def _prepare_prompt_buffers(self, audio: np.ndarray, sr: int):
+        a16 = self._resample(audio, sr, self.SR_COND)
+        a22 = self._resample(audio, sr, self.SR_MEL)
+        n16 = min(len(a16), self.prompt_samples_16k)
+        n22 = min(len(a22), self.prompt_samples_22k)
+        buf16 = np.zeros((1, self.prompt_samples_16k), np.float32)
+        buf16[0, :n16] = a16[:n16]
+        # reflect-pad at the true boundary, then zero-pad to the bucket
+        pad = (self.cfg.mel.n_fft - self.cfg.mel.hop_size) // 2
+        pre = np.zeros((1, self.prompt_samples_22k + 2 * pad), np.float32)
+        seg = self.mel_fn.pad_reflect(a22[None, :n22])
+        pre[:, :seg.shape[1]] = seg
+        mel_frames = self.mel_fn.num_frames(n22)
+        return buf16, n16, pre, mel_frames
+
+    def _speaker_conditioning(self, spk_audio_prompt) -> dict:
+        key = self._content_key(spk_audio_prompt)
+        if key in self._spk_cache:
+            return self._spk_cache[key]
+        audio, sr = load_prompt_audio(spk_audio_prompt,
+                                      self.cfg.engine.max_prompt_seconds)
+        buf16, n16, pre22, mel_frames = self._prepare_prompt_buffers(audio, sr)
+        emb, w2v_len, ref_mel, style, prompt_condition = self._prompt_features(
+            self.params["w2v"], self.params["repcodec"], self.params["campplus"],
+            self.params["s2mel"], jnp.asarray(buf16), jnp.asarray([n16]),
+            jnp.asarray(pre22), jnp.asarray([mel_frames]))
+        cond_latents = self._gpt_conditioning(self.params["gpt"], emb, w2v_len)
+        spk_emovec = self._gpt_emovec(self.params["gpt"], emb, w2v_len)
+        entry = {
+            "emb": emb, "w2v_len": w2v_len, "ref_mel": ref_mel, "style": style,
+            "prompt_condition": prompt_condition, "mel_frames": mel_frames,
+            "cond_latents": cond_latents, "spk_emovec": spk_emovec,
+        }
+        if len(self._spk_cache) > 16:
+            self._spk_cache.clear()
+        self._spk_cache[key] = entry
+        return entry
+
+    def _emotion_conditioning(self, emo_audio_prompt) -> jnp.ndarray:
+        key = self._content_key(emo_audio_prompt)
+        if key in self._emo_cache:
+            return self._emo_cache[key]
+        audio, sr = load_prompt_audio(emo_audio_prompt,
+                                      self.cfg.engine.max_prompt_seconds)
+        buf16, n16, _, _ = self._prepare_prompt_buffers(audio, sr)
+        emb, length = self._emo_features(self.params["w2v"], jnp.asarray(buf16),
+                                         jnp.asarray([n16]))
+        emovec = self._gpt_emovec(self.params["gpt"], emb, length)
+        if len(self._emo_cache) > 16:
+            self._emo_cache.clear()
+        self._emo_cache[key] = emovec
+        return emovec
+
+    # ------------------------------------------------------------------
+    # inference
+    # ------------------------------------------------------------------
+
+    def _code_buckets(self) -> Tuple[int, ...]:
+        return tuple(self.cfg.engine.code_buckets)
+
+    def _mel_bucket_for(self, code_bucket: int) -> int:
+        m = int(math.ceil(code_bucket * self.cfg.s2mel.mel_scale_factor))
+        return m + (-m) % 16
+
+    def infer(self, spk_audio_prompt, text: str, output_path: Optional[str] = None,
+              emo_audio_prompt=None, emo_alpha: float = 1.0,
+              emo_vector: Optional[List[float]] = None,
+              use_emo_text: bool = False, emo_text: Optional[str] = None,
+              use_random: bool = False, interval_silence: int = 200,
+              verbose: bool = False, max_text_tokens_per_segment: int = 120,
+              **generation_kwargs) -> InferenceResult:
+        """Synthesize `text` in the voice of `spk_audio_prompt`.
+
+        Mirrors `IndexTTS2.infer` (reference `infer_v2.py:437-463`); returns
+        an InferenceResult and optionally writes an int16 WAV.
+        """
+        start_time = time.perf_counter()
+        gen = self.cfg.generation
+        cfg = self.cfg
+
+        if use_emo_text or emo_vector is not None:
+            emo_audio_prompt = None
+        if use_emo_text:
+            raise NotImplementedError(
+                "text-driven emotion requires the Qwen emotion model; "
+                "configure cfg.qwen_emo and use QwenEmotion explicitly")
+        if emo_vector is not None:
+            scale = max(0.0, min(1.0, emo_alpha))
+            if scale != 1.0:
+                emo_vector = [int(x * scale * 10000) / 10000 for x in emo_vector]
+        if emo_audio_prompt is None:
+            emo_audio_prompt = spk_audio_prompt
+            emo_alpha = 1.0
+
+        spk = self._speaker_conditioning(spk_audio_prompt)
+        emo_emovec = self._emotion_conditioning(emo_audio_prompt)
+
+        # merge_emovec: base + alpha * (emo - base) (reference model_v2.py:742)
+        emovec = spk["spk_emovec"] + emo_alpha * (emo_emovec - spk["spk_emovec"])
+
+        emovec_mat = None
+        weight_sum = 0.0
+        if emo_vector is not None and self.emo_matrix is not None:
+            weights = np.asarray(emo_vector, np.float32)
+            weight_sum = float(weights.sum())
+            rows = []
+            style_np = np.asarray(spk["style"])[0]
+            for gi, mat in enumerate(self.emo_matrix):
+                spk_mat = np.asarray(self.spk_matrix[gi])
+                if use_random:
+                    idx = np.random.randint(0, spk_mat.shape[0])
+                else:
+                    sims = (spk_mat @ style_np) / (
+                        np.linalg.norm(spk_mat, axis=1)
+                        * np.linalg.norm(style_np) + 1e-9)
+                    idx = int(np.argmax(sims))
+                rows.append(np.asarray(mat)[idx] * weights[gi])
+            emovec_mat = jnp.asarray(np.sum(rows, axis=0))[None, :]
+            emovec = emovec_mat + (1.0 - weight_sum) * emovec
+
+        tokens = self.tokenizer.tokenize(text)
+        segments = self.tokenizer.split_segments(
+            tokens, max_text_tokens_per_segment=max_text_tokens_per_segment)
+
+        timers = {"gpt_gen_time": 0.0, "gpt_forward_time": 0.0,
+                  "s2mel_time": 0.0, "bigvgan_time": 0.0}
+        wavs: List[np.ndarray] = []
+        for seg in segments:
+            wav = self._synthesize_segment(seg, spk, emovec, timers, verbose,
+                                           generation_kwargs)
+            wavs.append(wav)
+
+        full = post.insert_interval_silence(wavs, cfg.engine.sample_rate,
+                                            interval_silence)
+        total = time.perf_counter() - start_time
+        wav_len = len(full) / cfg.engine.sample_rate
+        metrics = {**timers, "inference_time": total,
+                   "audio_length": wav_len,
+                   "rtf": total / wav_len if wav_len > 0 else 0.0}
+        logger.info("gpt_gen_time: %.2f s", timers["gpt_gen_time"])
+        logger.info("gpt_forward_time: %.2f s", timers["gpt_forward_time"])
+        logger.info("s2mel_time: %.2f s", timers["s2mel_time"])
+        logger.info("bigvgan_time: %.2f s", timers["bigvgan_time"])
+        logger.info("RTF: %.4f", metrics["rtf"])
+
+        wav_i16 = np.clip(full * 32767.0, -32767.0, 32767.0).astype(np.int16)
+        if output_path:
+            with open(output_path, "wb") as f:
+                f.write(encode_wav_int16(wav_i16, cfg.engine.sample_rate))
+        return InferenceResult(wav_i16, cfg.engine.sample_rate, metrics)
+
+    def _synthesize_segment(self, seg_tokens: List[str], spk: dict,
+                            emovec: jnp.ndarray, timers: dict, verbose: bool,
+                            generation_kwargs: dict) -> np.ndarray:
+        cfg = self.cfg
+        gen = dataclasses.replace(cfg.generation, **{
+            k: v for k, v in generation_kwargs.items()
+            if hasattr(cfg.generation, k)}) if generation_kwargs else cfg.generation
+
+        ids = self.tokenizer.convert_tokens_to_ids(seg_tokens)
+        text_len = len(ids)
+        bucket = post.pick_bucket(text_len, cfg.engine.text_buckets)
+        text = np.zeros((1, bucket), np.int32)
+        text[0, :text_len] = ids[:bucket]
+
+        # --- GPT AR decode
+        t0 = time.perf_counter()
+        self._rng, sub = jax.random.split(self._rng)
+        res = gpt_decode(self.params["gpt"], self.gpt, gen,
+                         spk["cond_latents"], emovec, jnp.asarray(text),
+                         jnp.asarray([min(text_len, bucket)]), sub,
+                         max_new=gen.max_mel_tokens)
+        codes_np = np.asarray(res.codes)
+        lengths_np = np.asarray(res.lengths)
+        hit_limit = np.asarray(res.hit_limit)
+        jax.block_until_ready(res.codes)
+        timers["gpt_gen_time"] += time.perf_counter() - t0
+
+        # stop token excluded from the code sequence unless the row never
+        # produced one (reference `infer_v2.py:676-687`)
+        code_len = int(lengths_np[0] - (0 if hit_limit[0] else 1))
+        code_len = max(code_len, 1)
+        codes_np, code_lens = post.remove_long_silence(
+            codes_np[:, :code_len], np.asarray([code_len]),
+            cfg.gpt.stop_mel_token, cfg.engine.silent_token)
+        code_len = int(code_lens[0])
+
+        cbucket = post.pick_bucket(code_len, self._code_buckets())
+        # pad with 0 (an ordinary code): the teacher-forced forward replaces
+        # positions past code_len with the stop token itself, and the s2mel
+        # regulator never gathers past code_len — while the stop token id is
+        # out of range for the semantic codebook lookup
+        codes = np.zeros((1, cbucket), np.int32)
+        codes[0, :code_len] = codes_np[0, :code_len]
+
+        # --- teacher-forced latent
+        t0 = time.perf_counter()
+        latent = self._gpt_latent(
+            self.params["gpt"], spk["cond_latents"], emovec, jnp.asarray(text),
+            jnp.asarray([min(text_len, bucket)]), jnp.asarray(codes),
+            jnp.asarray([code_len]))
+        jax.block_until_ready(latent)
+        timers["gpt_forward_time"] += time.perf_counter() - t0
+
+        # --- s2mel
+        t0 = time.perf_counter()
+        mbucket = self._mel_bucket_for(cbucket)
+        self._rng, sub = jax.random.split(self._rng)
+        mel, target_len = self._s2mel_chain(
+            self.params["s2mel"], self.params["repcodec"], latent,
+            jnp.asarray(codes), jnp.asarray([code_len]),
+            spk["prompt_condition"], jnp.asarray([spk["mel_frames"]]),
+            spk["ref_mel"], spk["style"], sub, cbucket, mbucket)
+        jax.block_until_ready(mel)
+        timers["s2mel_time"] += time.perf_counter() - t0
+
+        # --- vocoder
+        t0 = time.perf_counter()
+        wav = self._vocode(self.params["vocoder"], mel)
+        wav_np = np.asarray(wav)[0, 0]
+        timers["bigvgan_time"] += time.perf_counter() - t0
+
+        n_frames = int(np.asarray(target_len)[0])
+        hop = self.cfg.mel.hop_size
+        return np.clip(wav_np[: n_frames * hop], -1.0, 1.0)

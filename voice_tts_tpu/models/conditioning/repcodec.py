@@ -119,7 +119,8 @@ def repcodec_vq2emb(variables, codes: jnp.ndarray) -> jnp.ndarray:
     `semantic_codec.quantizer.vq2emb(codes).transpose(1,2)`
     (reference `infer_v2.py:716-718`)."""
     p = variables["params"]["quantizer"]
-    z_q = jnp.take(p["codebook"], codes, axis=0)  # (B, T, d)
+    # clip: bucket padding may carry the (out-of-vocabulary) stop token
+    z_q = jnp.take(p["codebook"], codes, axis=0, mode="clip")  # (B, T, d)
     w = p["out_project"]["weight"]                # (H, d, 1)
     b = p["out_project"]["bias"]
     return jnp.einsum("btd,hdk->bth", z_q, w) + b[None, None, :]
