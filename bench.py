@@ -1,0 +1,100 @@
+"""End-to-end benchmark: /tts-equivalent synthesis RTF on one chip.
+
+Runs the full flagship-architecture pipeline (random weights — checkpoints
+are external artifacts) on a 20-char Chinese utterance with a 5 s prompt:
+prompt conditioning -> GPT AR decode -> s2mel CFM -> BigVGAN -> WAV, and
+reports inference_time / audio_length (RTF, lower is better).
+
+vs_baseline compares against the reference doc example RTF 0.14
+(`/root/reference/README.md:216-223`) as speedup (>1 = faster than baseline).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_RTF = 0.14
+
+
+def build_engine(tiny: bool):
+    from voice_tts_tpu.config import TTSConfig
+    from voice_tts_tpu.engine import TTSEngine
+
+    if tiny:
+        sys.path.insert(0, "tests")
+        from test_engine import _tiny_engine
+        return _tiny_engine()
+
+    cfg = TTSConfig()
+    # bench-scale generation: ~5 s of audio for a 20-char utterance
+    cfg.generation.max_mel_tokens = 256
+    cfg.generation.num_beams = 1
+    cfg.engine.text_buckets = (48,)
+    cfg.engine.code_buckets = (256,)
+    cfg.engine.max_prompt_seconds = 15.0
+    return TTSEngine.random(cfg, seed=0)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--tiny", action="store_true",
+                        help="tiny config (CPU smoke test)")
+    parser.add_argument("--repeats", type=int, default=3)
+    args = parser.parse_args()
+
+    try:
+        import jax
+        if args.tiny:
+            jax.config.update("jax_platforms", "cpu")
+        # persistent compile cache: stage graphs survive across processes
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+        from voice_tts_tpu.audio import encode_wav_int16
+
+        engine = build_engine(args.tiny)
+
+        sr = 22050
+        t = np.arange(5 * sr) / sr
+        tone = (0.4 * np.sin(2 * np.pi * 220 * t)
+                + 0.1 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        prompt = encode_wav_int16(tone * 32767, sr)
+
+        text_warm = "欢迎大家来体验这个语音合成系统谢谢大家."
+        text_bench = "今天天气真好我们一起出去散步聊天吧."
+        assert len(text_warm.rstrip(".")) >= 18 and len(text_bench.rstrip(".")) >= 17
+
+        # warm-up: compiles every stage graph for the buckets
+        engine.infer(prompt, text_warm, None)
+
+        rtfs, metrics = [], None
+        for _ in range(args.repeats):
+            res = engine.infer(prompt, text_bench, None)
+            rtfs.append(res.metrics["rtf"])
+            metrics = res.metrics
+        rtf = float(np.median(rtfs))
+
+        result = {
+            "metric": "e2e_rtf_20char_zh",
+            "value": round(rtf, 5),
+            "unit": "rtf",
+            "vs_baseline": round(BASELINE_RTF / rtf, 3) if rtf > 0 else 0.0,
+        }
+        print(json.dumps(result))
+        print(json.dumps({"detail": {k: round(v, 4) for k, v in metrics.items()},
+                          "backend": jax.default_backend()}), file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — always emit the JSON line
+        print(json.dumps({"metric": "e2e_rtf_20char_zh", "value": -1.0,
+                          "unit": "rtf", "vs_baseline": 0.0,
+                          "error": f"{type(e).__name__}: {e}"[:300]}))
+        raise
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""HTTP serving layer: schema, endpoints, error taxonomy."""
+
+import asyncio
+import http.client
+import json
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from voice_tts_tpu.audio import encode_wav_int16
+
+
+@pytest.fixture(scope="module")
+def server():
+    from voice_tts_tpu.serving.app import TTSService
+    from tests.test_engine import _tiny_engine
+
+    service = TTSService()
+    service.engines.append(_tiny_engine())
+
+    loop = asyncio.new_event_loop()
+    port = 18021
+    ready = threading.Event()
+
+    def run():
+        asyncio.set_event_loop(loop)
+
+        async def main():
+            await service.start_workers()
+            srv = await asyncio.start_server(service.server._handle,
+                                             "127.0.0.1", port)
+            ready.set()
+            async with srv:
+                await srv.serve_forever()
+
+        try:
+            loop.run_until_complete(main())
+        except Exception:
+            pass
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert ready.wait(10)
+    yield port
+    loop.call_soon_threadsafe(loop.stop)
+
+
+def _request(port, method, path, body=None):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+    payload = json.dumps(body) if body is not None else None
+    conn.request(method, path, body=payload,
+                 headers={"Content-Type": "application/json"} if payload else {})
+    resp = conn.getresponse()
+    data = json.loads(resp.read().decode())
+    conn.close()
+    return resp.status, data
+
+
+def _hex_prompt():
+    sr = 22050
+    t = np.arange(int(0.5 * sr)) / sr
+    tone = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    return encode_wav_int16(tone * 32767, sr).hex()
+
+
+def test_root_and_health(server):
+    status, data = _request(server, "GET", "/")
+    assert status == 200 and data["model_loaded"] is True
+    status, data = _request(server, "GET", "/health")
+    assert status == 200 and data["status"] == "healthy"
+    status, data = _request(server, "GET", "/debug/worker-info")
+    assert status == 200 and data["model_info"]["loaded"] is True
+
+
+def test_tts_roundtrip(server):
+    status, data = _request(server, "POST", "/tts", {
+        "text": "hi there.", "spk_audio": _hex_prompt()})
+    assert status == 200, data
+    for field in ("audio_hex", "audio_length", "inference_time", "rtf", "text"):
+        assert field in data
+    wav = bytes.fromhex(data["audio_hex"])
+    assert wav[:4] == b"RIFF"
+    assert data["audio_length"] > 0
+
+
+def test_tts_with_emotion_label(server):
+    status, data = _request(server, "POST", "/tts", {
+        "text": "hello.", "spk_audio": _hex_prompt(),
+        "emotion": "happy", "emo_alpha": 0.7})
+    assert status == 200, data
+
+
+def test_error_taxonomy(server):
+    # bad audio input format -> 400
+    status, data = _request(server, "POST", "/tts", {
+        "text": "x.", "spk_audio": "definitely-not-audio"})
+    assert status == 400
+    # invalid emo_alpha -> 422 (validation)
+    status, data = _request(server, "POST", "/tts", {
+        "text": "x.", "spk_audio": _hex_prompt(), "emo_alpha": 3.0})
+    assert status == 422
+    # invalid json -> 400
+    conn = http.client.HTTPConnection("127.0.0.1", server, timeout=30)
+    conn.request("POST", "/tts", body="{not json", headers={})
+    resp = conn.getresponse()
+    assert resp.status == 400
+    resp.read()
+    conn.close()
+    # unknown route -> 404
+    status, _ = _request(server, "GET", "/nope")
+    assert status == 404
+    # wrong method -> 405
+    status, _ = _request(server, "GET", "/tts")
+    assert status == 405

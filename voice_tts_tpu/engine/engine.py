@@ -119,6 +119,7 @@ class TTSEngine:
         self.prompt_mel_frames = self.mel_fn.num_frames(self.prompt_samples_22k)
         self.w2v_frames = self.seamless.num_output_frames(self.prompt_samples_16k)
 
+        self.qwen_emo = None  # optional QwenEmotion (text-driven emotion)
         self._resamplers: Dict[Tuple[int, int], Resampler] = {}
         self._spk_cache: Dict[str, dict] = {}
         self._emo_cache: Dict[str, jnp.ndarray] = {}
@@ -131,23 +132,55 @@ class TTSEngine:
     # ------------------------------------------------------------------
 
     @classmethod
+    def from_artifacts(cls, directory: str) -> "TTSEngine":
+        """Load a converted model directory
+        (see `voice_tts_tpu.utils.artifacts`)."""
+        from voice_tts_tpu.text import SentencePieceBPE, TextNormalizer
+        from voice_tts_tpu.text.tokenizer import TextTokenizer
+        from voice_tts_tpu.utils.artifacts import load_artifacts, split_matrix_groups
+
+        cfg, params, extras, bpe_bytes = load_artifacts(directory)
+        missing = [f for f in ("gpt", "s2mel", "vocoder", "campplus",
+                               "repcodec", "w2v") if f not in params]
+        if missing:
+            raise FileNotFoundError(f"missing model families in {directory}: "
+                                    f"{missing}")
+        if "emo_matrix_raw" in extras:
+            extras["emo_matrix"] = split_matrix_groups(
+                extras.pop("emo_matrix_raw"), cfg.engine.emo_num)
+        if "spk_matrix_raw" in extras:
+            extras["spk_matrix"] = split_matrix_groups(
+                extras.pop("spk_matrix_raw"), cfg.engine.emo_num)
+        if bpe_bytes:
+            from voice_tts_tpu.text import sp_model
+            normalizer = TextNormalizer()
+            normalizer.load()
+            sp = SentencePieceBPE(sp_model.parse_model(bpe_bytes))
+            tokenizer = TextTokenizer(sp, normalizer)
+        else:
+            tokenizer = HashTokenizer(cfg.gpt.number_text_tokens)
+        return cls(cfg, params, tokenizer, extras)
+
+    @classmethod
     def random(cls, cfg: TTSConfig, seed: int = 0) -> "TTSEngine":
         """Random-weight engine (benchmarks / tests; no checkpoint needed)."""
         key = jax.random.PRNGKey(seed)
         keys = jax.random.split(key, 8)
         c = cfg
 
+        # jit every init: eager initialization dispatches thousands of single
+        # ops (prohibitive over remote-device transports)
         gpt = UnifiedVoice(c.gpt)
         text = jnp.zeros((1, 8), dtype=jnp.int32)
-        gpt_params = gpt.init(
+        gpt_params = jax.jit(partial(gpt.init, method=UnifiedVoice.init_all))(
             keys[0], jnp.zeros((1, 6, c.gpt.condition_module.input_size)),
             jnp.zeros((1, 6, c.gpt.emo_condition_module.input_size)),
             text, jnp.asarray([8]), jnp.zeros((1, 6), dtype=jnp.int32),
-            jnp.asarray([6]), method=UnifiedVoice.init_all)
+            jnp.asarray([6]))
 
         s2 = S2Mel(c.s2mel)
         d = c.s2mel.dit
-        s2_params = s2.init(
+        s2_params = jax.jit(s2.init, static_argnums=4)(
             keys[1], jnp.zeros((1, 6, c.semantic_codec.hidden_size)),
             jnp.asarray([6]), jnp.asarray([8]), 8,
             jnp.zeros((1, d.in_channels, 8)), jnp.zeros((1, d.in_channels, 8)),
@@ -155,13 +188,14 @@ class TTSEngine:
             jnp.zeros((1, 4, c.s2mel.gpt_dim)))
 
         voc = BigVGAN(c.vocoder)
-        voc_params = voc.init(keys[2], jnp.zeros((1, c.vocoder.num_mels, 8)))
+        voc_params = jax.jit(voc.init)(keys[2],
+                                       jnp.zeros((1, c.vocoder.num_mels, 8)))
 
-        camp = CAMPPlus(c.campplus).init(
+        camp = jax.jit(CAMPPlus(c.campplus).init)(
             keys[3], jnp.zeros((1, 16, c.campplus.feat_dim)))
-        rep = RepCodec(c.semantic_codec).init(
+        rep = jax.jit(RepCodec(c.semantic_codec).init)(
             keys[4], jnp.zeros((1, 8, c.semantic_codec.hidden_size)))
-        w2v = Wav2Vec2Bert(c.w2v_bert).init(
+        w2v = jax.jit(Wav2Vec2Bert(c.w2v_bert).init)(
             keys[5], jnp.zeros((1, 8, c.w2v_bert.feature_projection_input_dim)))
 
         emo_dim = c.gpt.model_dim
@@ -377,9 +411,14 @@ class TTSEngine:
         if use_emo_text or emo_vector is not None:
             emo_audio_prompt = None
         if use_emo_text:
-            raise NotImplementedError(
-                "text-driven emotion requires the Qwen emotion model; "
-                "configure cfg.qwen_emo and use QwenEmotion explicitly")
+            if self.qwen_emo is None:
+                raise RuntimeError(
+                    "text-driven emotion requires the Qwen emotion model: "
+                    "set engine.qwen_emo = QwenEmotion.from_pretrained(dir)")
+            emo_dict = self.qwen_emo.inference(emo_text if emo_text is not None
+                                               else text)
+            logger.info("detected emotion vectors from text: %s", emo_dict)
+            emo_vector = list(emo_dict.values())
         if emo_vector is not None:
             scale = max(0.0, min(1.0, emo_alpha))
             if scale != 1.0:

