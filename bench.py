@@ -38,6 +38,7 @@ def build_engine(tiny: bool):
     cfg.engine.text_buckets = (48,)
     cfg.engine.code_buckets = (256,)
     cfg.engine.max_prompt_seconds = 15.0
+    cfg.engine.use_fp16 = True  # bf16 GPT decode path
     return TTSEngine.random(cfg, seed=0)
 
 

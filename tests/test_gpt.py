@@ -212,3 +212,40 @@ def test_decode_sampling_runs_and_stops():
     assert codes.min() >= 0 and codes.max() < cfg.number_mel_codes
     lengths = np.asarray(res.lengths)
     assert 1 <= lengths[0] <= 12
+
+
+def test_fast_sampler_matches_hf_order_warping():
+    """sample_token's candidate-space warping == full-vocab process_logits."""
+    from voice_tts_tpu.models.gpt.decode import process_logits, sample_token
+
+    gen = GenerationConfig(do_sample=True, top_k=5, top_p=0.8, temperature=0.7,
+                           repetition_penalty=3.0, num_beams=1)
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        logits = jnp.asarray(rng.normal(size=(2, 40)).astype(np.float32) * 3)
+        presence = jnp.asarray(rng.random((2, 40)) < 0.2)
+        slow = np.asarray(process_logits(logits, presence, gen))
+        # distribution support must match: sample many tokens from each path
+        keys = jax.random.split(jax.random.PRNGKey(trial), 200)
+        fast_tokens = {int(sample_token(logits, presence, gen, k)[0])
+                       for k in keys}
+        slow_probs = np.asarray(jax.nn.softmax(slow, axis=-1))[0]
+        slow_support = {i for i, p in enumerate(slow_probs) if p > 1e-6}
+        assert fast_tokens <= slow_support
+        # every high-probability slow token appears in fast samples
+        likely = {i for i, p in enumerate(slow_probs) if p > 0.05}
+        assert likely <= fast_tokens
+
+
+def test_fast_sampler_greedy_matches_argmax():
+    from voice_tts_tpu.models.gpt.decode import sample_token
+
+    gen = GenerationConfig(do_sample=False, repetition_penalty=2.0, num_beams=1)
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.normal(size=(1, 30)).astype(np.float32))
+    presence = jnp.zeros((1, 30), dtype=bool).at[0, 5].set(True)
+    tok = sample_token(logits, presence, gen, jax.random.PRNGKey(0))
+    penalized = np.asarray(logits).copy()
+    v = penalized[0, 5]
+    penalized[0, 5] = v / 2.0 if v > 0 else v * 2.0
+    assert int(tok[0]) == int(np.argmax(penalized))

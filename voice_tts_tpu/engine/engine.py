@@ -120,6 +120,15 @@ class TTSEngine:
         self.w2v_frames = self.seamless.num_output_frames(self.prompt_samples_16k)
 
         self.qwen_emo = None  # optional QwenEmotion (text-driven emotion)
+        # bf16 GPT runtime params for decode + teacher-forced latent
+        # (reference runs fp16 autocast on the GPT only, `infer_v2.py:628,695`)
+        if cfg.engine.use_fp16:
+            self.params_gpt_rt = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                params["gpt"])
+        else:
+            self.params_gpt_rt = params["gpt"]
         self._resamplers: Dict[Tuple[int, int], Resampler] = {}
         self._spk_cache: Dict[str, dict] = {}
         self._emo_cache: Dict[str, jnp.ndarray] = {}
@@ -277,7 +286,8 @@ class TTSEngine:
                                    * cfg.s2mel.mel_scale_factor).astype(jnp.int32)
             cond = self.s2mel.apply(s2_params, s_infer, code_len, target_len,
                                     mel_bucket, method=S2Mel.regulate)
-            total_max = self.prompt_mel_frames + mel_bucket
+            # prompt bucket is carried by the (statically shaped) inputs
+            total_max = prompt_condition.shape[1] + mel_bucket
             cat, total_len = assemble_condition(prompt_condition, prompt_len,
                                                 cond, target_len, total_max)
             prompt_x = place_prompt_mel(ref_mel, prompt_len, total_max)
@@ -501,7 +511,7 @@ class TTSEngine:
         # --- GPT AR decode
         t0 = time.perf_counter()
         self._rng, sub = jax.random.split(self._rng)
-        res = gpt_decode(self.params["gpt"], self.gpt, gen,
+        res = gpt_decode(self.params_gpt_rt, self.gpt, gen,
                          spk["cond_latents"], emovec, jnp.asarray(text),
                          jnp.asarray([min(text_len, bucket)]), sub,
                          max_new=gen.max_mel_tokens)
@@ -531,7 +541,7 @@ class TTSEngine:
         # --- teacher-forced latent
         t0 = time.perf_counter()
         latent = self._gpt_latent(
-            self.params["gpt"], spk["cond_latents"], emovec, jnp.asarray(text),
+            self.params_gpt_rt, spk["cond_latents"], emovec, jnp.asarray(text),
             jnp.asarray([min(text_len, bucket)]), jnp.asarray(codes),
             jnp.asarray([code_len]))
         jax.block_until_ready(latent)
@@ -540,12 +550,19 @@ class TTSEngine:
         # --- s2mel
         t0 = time.perf_counter()
         mbucket = self._mel_bucket_for(cbucket)
+        # slice the prompt to its frame bucket: DiT attention cost scales with
+        # (prompt + generated)^2, so short prompts shouldn't pay for 15 s
+        pbuckets = tuple(b for b in cfg.engine.prompt_frame_buckets
+                         if b < self.prompt_mel_frames) + (self.prompt_mel_frames,)
+        pbucket = post.pick_bucket(spk["mel_frames"], pbuckets)
+        prompt_condition = spk["prompt_condition"][:, :pbucket]
+        ref_mel = spk["ref_mel"][:, :, :pbucket]
         self._rng, sub = jax.random.split(self._rng)
         mel, target_len = self._s2mel_chain(
             self.params["s2mel"], self.params["repcodec"], latent,
             jnp.asarray(codes), jnp.asarray([code_len]),
-            spk["prompt_condition"], jnp.asarray([spk["mel_frames"]]),
-            spk["ref_mel"], spk["style"], sub, cbucket, mbucket)
+            prompt_condition, jnp.asarray([spk["mel_frames"]]),
+            ref_mel, spk["style"], sub, cbucket, mbucket)
         jax.block_until_ready(mel)
         timers["s2mel_time"] += time.perf_counter() - t0
 

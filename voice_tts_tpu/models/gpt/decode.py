@@ -70,6 +70,31 @@ def process_logits(logits, presence, gen: GenerationConfig):
     return logits
 
 
+def sample_token(logits, presence, gen: GenerationConfig, rng):
+    """One sampling step, TPU-fast path.
+
+    Equivalent to `process_logits` + categorical/argmax, but top-p runs in the
+    (already descending-sorted) top-k candidate space, avoiding the
+    full-vocab argsort: ascending-HF "remove while cumulative <= 1-p" is
+    "remove j when cumulative-before-j >= p" in descending order.
+    """
+    logits = apply_repetition_penalty(logits, presence, gen.repetition_penalty)
+    if not gen.do_sample:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if gen.temperature != 1.0:
+        logits = logits / gen.temperature
+    k = min(gen.top_k if gen.top_k > 0 else logits.shape[-1], logits.shape[-1])
+    top_vals, top_idx = jax.lax.top_k(logits, k)           # descending
+    if gen.top_p < 1.0:
+        probs = jax.nn.softmax(top_vals, axis=-1)
+        before = jnp.cumsum(probs, axis=-1) - probs
+        top_vals = jnp.where(before >= gen.top_p,
+                             jnp.finfo(top_vals.dtype).min, top_vals)
+    choice = jax.random.categorical(rng, top_vals, axis=-1)
+    return jnp.take_along_axis(top_idx, choice[:, None], axis=-1)[:, 0].astype(
+        jnp.int32)
+
+
 class _LoopState(NamedTuple):
     step: jnp.ndarray
     token: jnp.ndarray       # (B,) last sampled token
@@ -89,12 +114,18 @@ def decode(params, model: UnifiedVoice, gen: GenerationConfig,
     """Greedy/sampling AR decode (num_beams=1 path).
 
     text_tokens (B, bucket_len) right-padded; returns up to `max_new` codes.
+    Compute dtype follows the parameters (pass a bf16-cast tree for bf16
+    decode; logits/sampling stay fp32).
     """
     cfg: GPTConfig = model.cfg
     b, bl = text_tokens.shape
     p = cfg.condition_num_latent + 2 + bl + 2  # conds(34) + start/text/stop
     t_max = p + 1 + max_new
     vocab = cfg.number_mel_codes
+
+    param_dtype = jax.tree.leaves(params)[0].dtype
+    cond_latents = cond_latents.astype(param_dtype)
+    emo_vec = emo_vec.astype(param_dtype)
 
     prompt, valid_p = model.apply(
         params, cond_latents, emo_vec, text_tokens, text_lengths,
@@ -113,13 +144,8 @@ def decode(params, model: UnifiedVoice, gen: GenerationConfig,
     presence0 = presence0.at[:, cfg.start_mel_token].set(True)
 
     def sample_from(logits, presence, rng):
-        warped = process_logits(logits, presence, gen)
-        if gen.do_sample:
-            rng, sub = jax.random.split(rng)
-            token = jax.random.categorical(sub, warped, axis=-1)
-        else:
-            token = jnp.argmax(warped, axis=-1)
-        return token.astype(jnp.int32), rng
+        rng, sub = jax.random.split(rng)
+        return sample_token(logits, presence, gen, sub), rng
 
     token0, rng = sample_from(logits0, presence0, rng)
     presence = presence0.at[jnp.arange(b), token0].set(True)

@@ -68,11 +68,13 @@ class GPT2Block(nn.Module):
             new_kv = None
             k_all, v_all = k, v
 
-        scores = jnp.einsum("bhsd,bhld->bhsl", q, k_all) / jnp.sqrt(
-            jnp.asarray(hd, dtype=x.dtype))
+        # fp32 scores/softmax regardless of the (possibly bf16) compute dtype
+        scores = jnp.einsum("bhsd,bhld->bhsl", q, k_all,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.asarray(hd, dtype=jnp.float32))
         neg = jnp.finfo(scores.dtype).min
         scores = jnp.where(attn_mask[:, None, :, :], scores, neg)
-        probs = jax.nn.softmax(scores, axis=-1)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
         ctx = jnp.einsum("bhsl,bhld->bhsd", probs, v_all)
         ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, s, d)
         x = res + Conv1DGPT(d, name="attn_c_proj")(ctx)

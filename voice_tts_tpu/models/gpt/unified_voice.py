@@ -199,8 +199,9 @@ class UnifiedVoice(nn.Module):
         embeds = jnp.concatenate([prompt_embeds, start_emb], axis=1)
         valid_all = jnp.concatenate(
             [valid, jnp.ones((b, kv_cache.shape[4] - p), dtype=bool)], axis=1)
-        hidden, cache = self.gpt(embeds, kv_cache, 0, valid_all)
-        logits = self.mel_head(self.final_norm(hidden[:, -1]))
+        hidden, cache = self.gpt(embeds.astype(kv_cache.dtype), kv_cache, 0,
+                                 valid_all)
+        logits = self.mel_head(self.final_norm(hidden[:, -1]).astype(jnp.float32))
         return logits, cache
 
     def decode_step(self, token: jnp.ndarray, step: jnp.ndarray,
@@ -210,6 +211,7 @@ class UnifiedVoice(nn.Module):
         cache_index.  Returns (logits (B, vocab), new cache)."""
         emb = (self.mel_embedding(token[:, None])
                + self.mel_pos_embedding(step[None, None] + 1))
-        hidden, cache = self.gpt(emb, kv_cache, cache_index, valid)
-        logits = self.mel_head(self.final_norm(hidden[:, -1]))
+        hidden, cache = self.gpt(emb.astype(kv_cache.dtype), kv_cache,
+                                 cache_index, valid)
+        logits = self.mel_head(self.final_norm(hidden[:, -1]).astype(jnp.float32))
         return logits, cache
