@@ -64,3 +64,36 @@ def test_engine_emotion_controls():
     r2 = engine.infer(spk, "a.", None,
                       emo_vector=[0.6, 0, 0, 0, 0, 0, 0, 0.2])
     assert len(r2.wav) > 0
+
+
+def test_engine_streaming_generator():
+    engine = _tiny_engine()
+    sr = 22050
+    t = np.arange(int(0.5 * sr)) / sr
+    prompt = encode_wav_int16((0.4 * np.sin(2 * np.pi * 220 * t)) * 32767, sr)
+    chunks = list(engine.infer(prompt, "one. two.", None, stream_return=True,
+                                max_text_tokens_per_segment=4))
+    # 2 segments + 1 silence gap (order: seg, sil, seg)
+    assert len(chunks) >= 2
+    assert all(c.dtype == np.int16 for c in chunks)
+    sil = [c for c in chunks if np.all(c == 0)]
+    assert len(sil) >= 1
+
+
+def test_typical_sampling_runs():
+    import jax
+    import jax.numpy as jnp
+    from voice_tts_tpu.config import GenerationConfig
+    from voice_tts_tpu.models.gpt.decode import apply_typical, sample_token
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(1, 50)).astype(np.float32) * 2)
+    warped = np.asarray(apply_typical(logits, 0.5))
+    kept = np.sum(warped > np.finfo(np.float32).min / 2)
+    assert 1 <= kept < 50
+
+    gen = GenerationConfig(do_sample=True, typical_sampling=True,
+                           typical_mass=0.9, num_beams=1)
+    tok = sample_token(logits, jnp.zeros((1, 50), bool), gen,
+                       jax.random.PRNGKey(0))
+    assert 0 <= int(tok[0]) < 50

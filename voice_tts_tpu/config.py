@@ -237,6 +237,8 @@ class GenerationConfig:
     repetition_penalty: float = 10.0
     max_mel_tokens: int = 1500
     max_text_tokens_per_segment: int = 120
+    typical_sampling: bool = False
+    typical_mass: float = 0.9
 
 
 @dataclass(eq=False)

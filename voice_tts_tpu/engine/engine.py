@@ -402,22 +402,11 @@ class TTSEngine:
         m = int(math.ceil(code_bucket * self.cfg.s2mel.mel_scale_factor))
         return m + (-m) % 16
 
-    def infer(self, spk_audio_prompt, text: str, output_path: Optional[str] = None,
-              emo_audio_prompt=None, emo_alpha: float = 1.0,
-              emo_vector: Optional[List[float]] = None,
-              use_emo_text: bool = False, emo_text: Optional[str] = None,
-              use_random: bool = False, interval_silence: int = 200,
-              verbose: bool = False, max_text_tokens_per_segment: int = 120,
-              **generation_kwargs) -> InferenceResult:
-        """Synthesize `text` in the voice of `spk_audio_prompt`.
-
-        Mirrors `IndexTTS2.infer` (reference `infer_v2.py:437-463`); returns
-        an InferenceResult and optionally writes an int16 WAV.
-        """
-        start_time = time.perf_counter()
-        gen = self.cfg.generation
-        cfg = self.cfg
-
+    def _prepare(self, spk_audio_prompt, emo_audio_prompt, emo_alpha,
+                 emo_vector, use_emo_text, emo_text, use_random, text,
+                 max_text_tokens_per_segment):
+        """Emotion-source resolution + conditioning + segmentation
+        (reference `infer_v2.py:476-583`)."""
         if use_emo_text or emo_vector is not None:
             emo_audio_prompt = None
         if use_emo_text:
@@ -443,8 +432,6 @@ class TTSEngine:
         # merge_emovec: base + alpha * (emo - base) (reference model_v2.py:742)
         emovec = spk["spk_emovec"] + emo_alpha * (emo_emovec - spk["spk_emovec"])
 
-        emovec_mat = None
-        weight_sum = 0.0
         if emo_vector is not None and self.emo_matrix is not None:
             weights = np.asarray(emo_vector, np.float32)
             weight_sum = float(weights.sum())
@@ -466,6 +453,61 @@ class TTSEngine:
         tokens = self.tokenizer.tokenize(text)
         segments = self.tokenizer.split_segments(
             tokens, max_text_tokens_per_segment=max_text_tokens_per_segment)
+        return spk, emovec, segments
+
+    def infer_generator(self, spk_audio_prompt, text: str,
+                        emo_audio_prompt=None, emo_alpha: float = 1.0,
+                        emo_vector: Optional[List[float]] = None,
+                        use_emo_text: bool = False,
+                        emo_text: Optional[str] = None,
+                        use_random: bool = False, interval_silence: int = 200,
+                        verbose: bool = False,
+                        max_text_tokens_per_segment: int = 120,
+                        **generation_kwargs):
+        """Streaming synthesis: yields per-segment int16 waveforms followed by
+        the inter-segment silence gap (mirrors `stream_return=True`,
+        reference `infer_v2.py:745-749`)."""
+        spk, emovec, segments = self._prepare(
+            spk_audio_prompt, emo_audio_prompt, emo_alpha, emo_vector,
+            use_emo_text, emo_text, use_random, text,
+            max_text_tokens_per_segment)
+        timers = {"gpt_gen_time": 0.0, "gpt_forward_time": 0.0,
+                  "s2mel_time": 0.0, "bigvgan_time": 0.0}
+        sil = np.zeros(int(self.cfg.engine.sample_rate * interval_silence
+                           / 1000.0), dtype=np.int16)
+        for i, seg in enumerate(segments):
+            wav = self._synthesize_segment(seg, spk, emovec, timers, verbose,
+                                           generation_kwargs)
+            yield np.clip(wav * 32767.0, -32767.0, 32767.0).astype(np.int16)
+            if i < len(segments) - 1 and interval_silence > 0:
+                yield sil
+
+    def infer(self, spk_audio_prompt, text: str, output_path: Optional[str] = None,
+              emo_audio_prompt=None, emo_alpha: float = 1.0,
+              emo_vector: Optional[List[float]] = None,
+              use_emo_text: bool = False, emo_text: Optional[str] = None,
+              use_random: bool = False, interval_silence: int = 200,
+              verbose: bool = False, max_text_tokens_per_segment: int = 120,
+              stream_return: bool = False,
+              **generation_kwargs) -> InferenceResult:
+        """Synthesize `text` in the voice of `spk_audio_prompt`.
+
+        Mirrors `IndexTTS2.infer` (reference `infer_v2.py:437-463`); returns
+        an InferenceResult and optionally writes an int16 WAV.  With
+        `stream_return=True` returns the segment generator instead.
+        """
+        if stream_return:
+            return self.infer_generator(
+                spk_audio_prompt, text, emo_audio_prompt, emo_alpha,
+                emo_vector, use_emo_text, emo_text, use_random,
+                interval_silence, verbose, max_text_tokens_per_segment,
+                **generation_kwargs)
+        start_time = time.perf_counter()
+        cfg = self.cfg
+        spk, emovec, segments = self._prepare(
+            spk_audio_prompt, emo_audio_prompt, emo_alpha, emo_vector,
+            use_emo_text, emo_text, use_random, text,
+            max_text_tokens_per_segment)
 
         timers = {"gpt_gen_time": 0.0, "gpt_forward_time": 0.0,
                   "s2mel_time": 0.0, "bigvgan_time": 0.0}

@@ -60,8 +60,30 @@ def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
     return jnp.where(remove, jnp.finfo(logits.dtype).min, logits)
 
 
+def apply_typical(logits: jnp.ndarray, mass: float,
+                  min_tokens_to_keep: int = 1) -> jnp.ndarray:
+    """Entropy-typical filtering (HF TypicalLogitsWarper semantics; optional
+    path enabled by `inference_speech(typical_sampling=True)`, reference
+    `utils/typical_sampling.py:4-30`)."""
+    norm = jax.nn.log_softmax(logits, axis=-1)
+    p = jnp.exp(norm)
+    ent = -jnp.sum(norm * p, axis=-1, keepdims=True)
+    shifted = jnp.abs(-norm - ent)
+    order = jnp.argsort(shifted, axis=-1)  # ascending: most typical first
+    sorted_p = jnp.take_along_axis(p, order, axis=-1)
+    cum = jnp.cumsum(sorted_p, axis=-1)
+    last_ind = jnp.sum((cum < mass).astype(jnp.int32), axis=-1, keepdims=True)
+    last_ind = jnp.maximum(last_ind, min_tokens_to_keep - 1)
+    rank = jnp.argsort(order, axis=-1)
+    remove = rank > last_ind
+    return jnp.where(remove, jnp.finfo(logits.dtype).min, logits)
+
+
 def process_logits(logits, presence, gen: GenerationConfig):
     logits = apply_repetition_penalty(logits, presence, gen.repetition_penalty)
+    if gen.typical_sampling:
+        logits = apply_typical(logits, gen.typical_mass,
+                               2 if gen.num_beams > 1 else 1)
     if gen.do_sample:
         if gen.temperature != 1.0:
             logits = logits / gen.temperature
@@ -77,7 +99,15 @@ def sample_token(logits, presence, gen: GenerationConfig, rng):
     (already descending-sorted) top-k candidate space, avoiding the
     full-vocab argsort: ascending-HF "remove while cumulative <= 1-p" is
     "remove j when cumulative-before-j >= p" in descending order.
+
+    The (rare, opt-in) typical-sampling path keeps the full-vocab pipeline.
     """
+    if gen.typical_sampling:
+        rng2 = rng
+        warped = process_logits(logits, presence, gen)
+        if gen.do_sample:
+            return jax.random.categorical(rng2, warped, axis=-1).astype(jnp.int32)
+        return jnp.argmax(warped, axis=-1).astype(jnp.int32)
     logits = apply_repetition_penalty(logits, presence, gen.repetition_penalty)
     if not gen.do_sample:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
