@@ -84,6 +84,11 @@ def install_reference_gpt():
           ["NEED_SETUP_CACHE_CLASSES_MAPPING", "QUANT_BACKEND_CLASSES_MAPPING"],
           value={})
     patch("transformers.modeling_utils", ["SequenceSummary"])
+    # vendored generate reads GenerationConfig attrs removed in 4.5x
+    import transformers.generation.configuration_utils as gcu
+    for attr in ("forced_decoder_ids",):
+        if not hasattr(gcu.GenerationConfig, attr):
+            setattr(gcu.GenerationConfig, attr, None)
 
 
 def install_reference_s2mel():

@@ -97,3 +97,12 @@ def test_typical_sampling_runs():
     tok = sample_token(logits, jnp.zeros((1, 50), bool), gen,
                        jax.random.PRNGKey(0))
     assert 0 <= int(tok[0]) < 50
+
+
+def test_engine_beam_decode_path():
+    engine = _tiny_engine()
+    sr = 22050
+    t = np.arange(int(0.5 * sr)) / sr
+    prompt = encode_wav_int16((0.4 * np.sin(2 * np.pi * 220 * t)) * 32767, sr)
+    res = engine.infer(prompt, "b.", None, num_beams=2, max_mel_tokens=16)
+    assert len(res.wav) > 0 and np.isfinite(res.wav).all()

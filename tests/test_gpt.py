@@ -249,3 +249,64 @@ def test_fast_sampler_greedy_matches_argmax():
     v = penalized[0, 5]
     penalized[0, 5] = v / 2.0 if v > 0 else v * 2.0
     assert int(tok[0]) == int(np.argmax(penalized))
+
+
+def test_beam_search_parity_with_reference(ref_and_params):
+    """Deterministic beam search (do_sample=False, K=3, rep penalty) must
+    produce the same best hypothesis as the reference HF beam path."""
+    import torch
+    cfg, ref, params = ref_and_params
+    from voice_tts_tpu.models.gpt.beam import beam_decode
+
+    ref.post_init_gpt2_config(use_deepspeed=False, kv_cache=True, half=False)
+    rng = np.random.default_rng(5)
+    spk = (rng.normal(size=(1, 21, 1024)) * 0.3).astype(np.float32)
+    text = rng.integers(2, 30, size=(1, 7)).astype(np.int32)
+
+    with torch.no_grad():
+        ref_codes, _ = ref.inference_speech(
+            torch.from_numpy(spk), torch.from_numpy(text.astype(np.int64)),
+            cond_lengths=torch.tensor([21]),
+            do_sample=False, num_beams=3, repetition_penalty=10.0,
+            max_generate_length=16, num_return_sequences=1)
+    ref_codes = ref_codes.numpy()[0]
+    # HF appends the stop token when the hypothesis finished early
+    ref_hyp = ref_codes[:-1] if ref_codes[-1] == cfg.stop_mel_token else ref_codes
+
+    model = UnifiedVoice(cfg)
+    cond = model.apply(params, jnp.asarray(spk), jnp.asarray([21], dtype=jnp.int32),
+                       method=UnifiedVoice.get_conditioning)
+    emovec = model.apply(params, jnp.asarray(spk), jnp.asarray([21], dtype=jnp.int32),
+                         method=UnifiedVoice.get_emovec)
+    gen = GenerationConfig(do_sample=False, num_beams=3,
+                           repetition_penalty=10.0, length_penalty=0.0)
+    res = beam_decode(params, model, gen, cond, emovec, jnp.asarray(text),
+                      jnp.asarray([7], dtype=jnp.int32), jax.random.PRNGKey(0),
+                      max_new=16)
+    length = int(np.asarray(res.lengths)[0])
+    hit = bool(np.asarray(res.hit_limit)[0])
+    mine = np.asarray(res.codes)[0][: length - (0 if hit else 1)]
+    np.testing.assert_array_equal(mine, ref_hyp)
+
+
+def test_beam_sampling_runs():
+    from voice_tts_tpu.models.gpt.beam import beam_decode
+
+    cfg = TINY
+    model = UnifiedVoice(cfg)
+    rng = np.random.default_rng(6)
+    text = rng.integers(2, 30, size=(1, 7)).astype(np.int32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 6, 1024)),
+                        jnp.zeros((1, 6, 1024)), jnp.asarray(text),
+                        jnp.asarray([7]), jnp.zeros((1, 5), dtype=jnp.int32),
+                        jnp.asarray([5]), method=UnifiedVoice.init_all)
+    cond = jnp.asarray(rng.normal(size=(1, 4, cfg.model_dim)).astype(np.float32) * 0.1)
+    emovec = jnp.asarray(rng.normal(size=(1, cfg.model_dim)).astype(np.float32) * 0.1)
+    gen = GenerationConfig(do_sample=True, num_beams=3, top_k=10, top_p=0.9,
+                           temperature=0.9, repetition_penalty=8.0)
+    res = beam_decode(params, model, gen, cond, emovec, jnp.asarray(text),
+                      jnp.asarray([7], dtype=jnp.int32), jax.random.PRNGKey(1),
+                      max_new=12)
+    codes = np.asarray(res.codes)
+    assert codes.shape == (1, 12)
+    assert codes.min() >= 0 and codes.max() < cfg.number_mel_codes

@@ -36,6 +36,7 @@ from voice_tts_tpu.logging import logger
 from voice_tts_tpu.models.conditioning import CAMPPlus, RepCodec, Wav2Vec2Bert
 from voice_tts_tpu.models.conditioning.repcodec import repcodec_vq2emb
 from voice_tts_tpu.models.gpt import UnifiedVoice
+from voice_tts_tpu.models.gpt.beam import beam_decode
 from voice_tts_tpu.models.gpt.decode import decode as gpt_decode
 from voice_tts_tpu.models.s2mel import S2Mel
 from voice_tts_tpu.models.s2mel.cfm import cfm_inference
@@ -550,13 +551,14 @@ class TTSEngine:
         text = np.zeros((1, bucket), np.int32)
         text[0, :text_len] = ids[:bucket]
 
-        # --- GPT AR decode
+        # --- GPT AR decode (beam path when num_beams > 1, reference default 3)
         t0 = time.perf_counter()
         self._rng, sub = jax.random.split(self._rng)
-        res = gpt_decode(self.params_gpt_rt, self.gpt, gen,
-                         spk["cond_latents"], emovec, jnp.asarray(text),
-                         jnp.asarray([min(text_len, bucket)]), sub,
-                         max_new=gen.max_mel_tokens)
+        decode_fn = gpt_decode if gen.num_beams <= 1 else beam_decode
+        res = decode_fn(self.params_gpt_rt, self.gpt, gen,
+                        spk["cond_latents"], emovec, jnp.asarray(text),
+                        jnp.asarray([min(text_len, bucket)]), sub,
+                        max_new=gen.max_mel_tokens)
         codes_np = np.asarray(res.codes)
         lengths_np = np.asarray(res.lengths)
         hit_limit = np.asarray(res.hit_limit)

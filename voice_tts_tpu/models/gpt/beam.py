@@ -1,0 +1,247 @@
+"""Fixed-shape beam search / beam sampling for UnifiedVoice.
+
+Replaces the vendored HF beam path (`transformers_generation_utils.py:3325+`
+and `transformers_beam_search.py:123`) that the reference engine uses by
+default (`num_beams=3, do_sample=True`, `infer_v2.py:604`).  Semantics
+mirrored:
+
+- processors run on log-softmax scores (repetition penalty, then — when
+  sampling — temperature/top-k/top-p warpers);
+- candidate scores = processed + beam score, flattened over (beam, vocab);
+- 2K candidates: multinomial-without-replacement (Gumbel top-k) when
+  sampling, else top-k, sorted descending;
+- BeamSearchScorer.process: stop-token candidates ranked < K enter the
+  hypothesis pool (sequence excludes the stop token, score includes it,
+  length_penalty applied over generated length); others fill the next beams;
+- early_stopping=False termination: pool full and worst pooled score >= the
+  best attainable running score;
+- finalize: running beams fill the pool when the length limit is hit.
+
+The KV cache is gather-reordered per step (same approach as HF
+`_reorder_cache`, `model_v2.py:199-212`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from voice_tts_tpu.config import GPTConfig, GenerationConfig
+from voice_tts_tpu.models.gpt.decode import (
+    DecodeResult, apply_repetition_penalty, apply_top_k, apply_top_p,
+    apply_typical,
+)
+from voice_tts_tpu.models.gpt.unified_voice import UnifiedVoice
+
+NEG = -1e9
+
+
+class _BeamState(NamedTuple):
+    step: jnp.ndarray
+    tokens: jnp.ndarray        # (K, max_new) generated so far (reordered)
+    beam_scores: jnp.ndarray   # (K,)
+    cache: jnp.ndarray
+    presence: jnp.ndarray      # (K, V)
+    last_tokens: jnp.ndarray   # (K,) fed into the next step
+    pool_scores: jnp.ndarray   # (K,)
+    pool_seqs: jnp.ndarray     # (K, max_new)
+    pool_lens: jnp.ndarray     # (K,)
+    done: jnp.ndarray          # scalar bool
+    rng: jax.Array
+
+
+def _process_scores(logprobs, presence, gen: GenerationConfig):
+    s = apply_repetition_penalty(logprobs, presence, gen.repetition_penalty)
+    if gen.typical_sampling:
+        s = apply_typical(s, gen.typical_mass, min_tokens_to_keep=2)
+    if gen.do_sample:
+        if gen.temperature != 1.0:
+            s = s / gen.temperature
+        s = apply_top_k(s, gen.top_k)
+        s = apply_top_p(s, gen.top_p)
+    return s
+
+
+def _length_penalize(sum_logprobs, length, length_penalty: float):
+    if length_penalty == 0.0:
+        return sum_logprobs
+    return sum_logprobs / jnp.power(jnp.maximum(length, 1).astype(jnp.float32),
+                                    length_penalty)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "gen", "max_new"))
+def beam_decode(params, model: UnifiedVoice, gen: GenerationConfig,
+                cond_latents: jnp.ndarray, emo_vec: jnp.ndarray,
+                text_tokens: jnp.ndarray, text_lengths: jnp.ndarray,
+                rng: jax.Array, max_new: int) -> DecodeResult:
+    """Beam search/sample for a single request (batch 1 x K beams).
+
+    Returns the best hypothesis as a (1, max_new) DecodeResult; `lengths`
+    counts generated codes + 1 when a stop token ended the hypothesis (the
+    engine then strips it, mirroring the sampling path contract).
+    """
+    cfg: GPTConfig = model.cfg
+    k = gen.num_beams
+    b, bl = text_tokens.shape
+    assert b == 1, "beam decode drives one request (use beams for diversity)"
+    p = cfg.condition_num_latent + 2 + bl + 2
+    t_max = p + 1 + max_new
+    vocab = cfg.number_mel_codes
+    eos = cfg.stop_mel_token
+
+    param_dtype = jax.tree.leaves(params)[0].dtype
+    prompt, valid_p = model.apply(
+        params, cond_latents.astype(param_dtype), emo_vec.astype(param_dtype),
+        text_tokens, text_lengths, method=UnifiedVoice.build_prompt)
+
+    valid = jnp.concatenate(
+        [valid_p, jnp.ones((1, t_max - p), dtype=bool)], axis=1)
+    valid_k = jnp.broadcast_to(valid, (k, valid.shape[1]))
+
+    hd = cfg.model_dim // cfg.heads
+    cache1 = jnp.zeros((cfg.layers, 2, 1, cfg.heads, t_max, hd),
+                       dtype=prompt.dtype)
+    logits1, cache1 = model.apply(params, prompt, valid_p, cache1,
+                                  method=UnifiedVoice.prefill)
+    cache = jnp.broadcast_to(
+        cache1, (cfg.layers, 2, k) + cache1.shape[3:]).copy()
+    logits0 = jnp.broadcast_to(logits1, (k, vocab))
+
+    presence0 = jnp.zeros((k, vocab), dtype=bool)
+    presence0 = presence0.at[:, 1].set(True)
+    presence0 = presence0.at[:, cfg.start_mel_token].set(True)
+
+    beam_scores0 = jnp.full((k,), NEG, dtype=jnp.float32).at[0].set(0.0)
+
+    def candidates(logits, presence, beam_scores, rng):
+        logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        processed = _process_scores(logprobs, presence, gen)
+        scores = processed + beam_scores[:, None]
+        flat = scores.reshape(-1)
+        n_keep = 2 * k
+        if gen.do_sample:
+            # multinomial without replacement == Gumbel top-k on log-probs
+            flat_lp = jax.nn.log_softmax(flat)
+            g = flat_lp - jnp.log(-jnp.log(
+                jax.random.uniform(rng, flat.shape, minval=1e-20, maxval=1.0)))
+            _, idx = jax.lax.top_k(g, n_keep)
+            cand_scores = flat[idx]
+            order = jnp.argsort(-cand_scores)
+            idx = idx[order]
+            cand_scores = cand_scores[order]
+        else:
+            cand_scores, idx = jax.lax.top_k(flat, n_keep)
+        return cand_scores, idx // vocab, idx % vocab
+
+    def scorer_step(state: _BeamState, cand_scores, cand_beams, cand_tokens):
+        """BeamSearchScorer.process equivalent over 2K sorted candidates."""
+        is_eos = cand_tokens == eos
+        ranks = jnp.arange(2 * k)
+
+        # --- hypothesis pool: eos candidates with rank < K
+        pool_scores, pool_seqs, pool_lens = (state.pool_scores,
+                                             state.pool_seqs, state.pool_lens)
+        gen_len = state.step  # tokens generated before this step's token
+        for c in range(2 * k):
+            add = is_eos[c] & (ranks[c] < k) & ~state.done
+            hyp_score = _length_penalize(cand_scores[c], gen_len + 1,
+                                         gen.length_penalty)
+            worst = jnp.argmin(pool_scores)
+            better = hyp_score > pool_scores[worst]
+            do_add = add & better
+            seq_c = state.tokens[cand_beams[c]]
+            pool_scores = jnp.where(do_add,
+                                    pool_scores.at[worst].set(hyp_score),
+                                    pool_scores)
+            pool_seqs = jnp.where(do_add,
+                                  pool_seqs.at[worst].set(seq_c), pool_seqs)
+            pool_lens = jnp.where(do_add,
+                                  pool_lens.at[worst].set(gen_len), pool_lens)
+
+        # --- next beams: first K non-eos candidates in order
+        sel_key = is_eos.astype(jnp.int32) * (4 * k) + ranks
+        sel = jnp.argsort(sel_key)[:k]
+        next_scores = cand_scores[sel]
+        next_beams = cand_beams[sel]
+        next_tokens = cand_tokens[sel]
+
+        # --- is_done (early_stopping=False): pool full and the worst pooled
+        # score can't be beaten by the best running candidate
+        pool_full = jnp.all(pool_scores > NEG / 2)
+        best_running = _length_penalize(
+            jnp.max(cand_scores), gen_len + 1, gen.length_penalty)
+        done = state.done | (pool_full & (jnp.min(pool_scores) >= best_running))
+        return (pool_scores, pool_seqs, pool_lens, next_scores, next_beams,
+                next_tokens, done)
+
+    def make_step(state: _BeamState, logits) -> _BeamState:
+        rng, sub = jax.random.split(state.rng)
+        cand_scores, cand_beams, cand_tokens = candidates(
+            logits, state.presence, state.beam_scores, sub)
+        (pool_scores, pool_seqs, pool_lens, next_scores, next_beams,
+         next_tokens, done) = scorer_step(state, cand_scores, cand_beams,
+                                          cand_tokens)
+
+        tokens = state.tokens[next_beams]
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, next_tokens[:, None].astype(jnp.int32), (0, state.step))
+        presence = state.presence[next_beams]
+        presence = presence.at[jnp.arange(k), next_tokens].set(True)
+        cache = jnp.take(state.cache, next_beams, axis=2)
+        return _BeamState(state.step + 1, tokens, next_scores, cache,
+                          presence, next_tokens.astype(jnp.int32),
+                          pool_scores, pool_seqs, pool_lens, done, rng)
+
+    state0 = _BeamState(
+        step=jnp.asarray(0), tokens=jnp.zeros((k, max_new), jnp.int32),
+        beam_scores=beam_scores0, cache=cache, presence=presence0,
+        last_tokens=jnp.zeros((k,), jnp.int32),
+        pool_scores=jnp.full((k,), 2 * NEG, jnp.float32),
+        pool_seqs=jnp.full((k, max_new), eos, jnp.int32),
+        pool_lens=jnp.zeros((k,), jnp.int32), done=jnp.asarray(False), rng=rng)
+
+    state1 = make_step(state0, logits0)
+
+    def cond_fn(s: _BeamState):
+        return (s.step < max_new) & ~s.done
+
+    def body_fn(s: _BeamState):
+        logits, cache = model.apply(
+            params, s.last_tokens, s.step - 1, p + s.step, valid_k, s.cache,
+            method=UnifiedVoice.decode_step)
+        s = s._replace(cache=cache)
+        return make_step(s, logits)
+
+    final = jax.lax.while_loop(cond_fn, body_fn, state1)
+
+    # finalize: running beams enter the pool when length ran out
+    pool_scores, pool_seqs, pool_lens = (final.pool_scores, final.pool_seqs,
+                                         final.pool_lens)
+    ran_out = ~final.done
+    for c in range(k):
+        score = _length_penalize(final.beam_scores[c], final.step,
+                                 gen.length_penalty)
+        worst = jnp.argmin(pool_scores)
+        do_add = ran_out & (score > pool_scores[worst])
+        pool_scores = jnp.where(do_add, pool_scores.at[worst].set(score),
+                                pool_scores)
+        pool_seqs = jnp.where(do_add, pool_seqs.at[worst].set(final.tokens[c]),
+                              pool_seqs)
+        pool_lens = jnp.where(do_add, pool_lens.at[worst].set(final.step),
+                              pool_lens)
+
+    best = jnp.argmax(pool_scores)
+    seq = pool_seqs[best][None, :]
+    gen_len = pool_lens[best]
+    # pool hypotheses ended with a stop token unless they came from finalize
+    finished_pool = final.done | (final.pool_scores[best] > 2 * NEG / 2)
+    from_finalize = ran_out & (pool_lens[best] == final.step)
+    hit_limit = from_finalize[None]
+    lengths = jnp.where(hit_limit, gen_len, gen_len + 1)[..., None][0]
+    # mark everything past gen_len with the stop token
+    posn = jnp.arange(max_new)[None, :]
+    seq = jnp.where(posn < gen_len, seq, eos)
+    return DecodeResult(seq, lengths, hit_limit)
