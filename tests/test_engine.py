@@ -106,3 +106,24 @@ def test_engine_beam_decode_path():
     prompt = encode_wav_int16((0.4 * np.sin(2 * np.pi * 220 * t)) * 32767, sr)
     res = engine.infer(prompt, "b.", None, num_beams=2, max_mel_tokens=16)
     assert len(res.wav) > 0 and np.isfinite(res.wav).all()
+
+
+def test_engine_infer_batch():
+    engine = _tiny_engine()
+    sr = 22050
+    t = np.arange(int(0.5 * sr)) / sr
+    p1 = encode_wav_int16((0.4 * np.sin(2 * np.pi * 220 * t)) * 32767, sr)
+    p2 = encode_wav_int16((0.4 * np.sin(2 * np.pi * 330 * t)) * 32767, sr)
+    reqs = [
+        {"spk_audio_prompt": p1, "text": "first one."},
+        {"spk_audio_prompt": p2, "text": "second piece of text."},
+        {"spk_audio_prompt": p1, "text": "third."},
+    ]
+    results = engine.infer_batch(reqs)
+    assert len(results) == 3
+    for r in results:
+        assert len(r.wav) > 0 and np.isfinite(r.wav).all()
+        assert r.metrics["audio_length"] > 0
+    # batch result for the shared prompt must match single-path determinism
+    # in shape terms (same prompt cache reused)
+    assert len(engine._spk_cache) == 2

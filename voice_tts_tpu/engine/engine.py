@@ -537,6 +537,148 @@ class TTSEngine:
                 f.write(encode_wav_int16(wav_i16, cfg.engine.sample_rate))
         return InferenceResult(wav_i16, cfg.engine.sample_rate, metrics)
 
+    # ------------------------------------------------------------------
+    # batched inference (continuous batching backend)
+    # ------------------------------------------------------------------
+
+    def infer_batch(self, requests: List[dict]) -> List[InferenceResult]:
+        """Synthesize several requests together, batching GPT decode and the
+        s2mel/vocoder stages across their segments.
+
+        Each request dict accepts the `infer` keyword surface
+        (spk_audio_prompt, text, emo_audio_prompt, emo_alpha, emo_vector,
+        interval_silence, ...).  This replaces the reference's one-request-
+        per-worker mutex (`server.py:25,384`) with step-level batching.
+        """
+        cfg = self.cfg
+        start = time.perf_counter()
+
+        prepared = []
+        jobs = []  # (req_idx, seg_idx, tokens, spk_entry, emovec)
+        for ri, req in enumerate(requests):
+            spk, emovec, segments = self._prepare(
+                req["spk_audio_prompt"], req.get("emo_audio_prompt"),
+                req.get("emo_alpha", 1.0), req.get("emo_vector"),
+                req.get("use_emo_text", False), req.get("emo_text"),
+                req.get("use_random", False), req["text"],
+                req.get("max_text_tokens_per_segment", 120))
+            prepared.append((req, spk, emovec, segments))
+            for si, seg in enumerate(segments):
+                jobs.append({"req": ri, "seg": si, "tokens": seg,
+                             "spk": spk, "emovec": emovec})
+
+        gen = cfg.generation
+        batch_cap = max(1, cfg.server.max_batch_size)
+
+        # --- group jobs by text bucket, decode in sub-batches
+        by_bucket: Dict[int, List[dict]] = {}
+        for job in jobs:
+            ids = self.tokenizer.convert_tokens_to_ids(job["tokens"])
+            job["ids"] = ids
+            bucket = post.pick_bucket(len(ids), cfg.engine.text_buckets)
+            job["bucket"] = bucket
+            by_bucket.setdefault(bucket, []).append(job)
+
+        for bucket, group in by_bucket.items():
+            for ofs in range(0, len(group), batch_cap):
+                sub = group[ofs:ofs + batch_cap]
+                self._decode_jobs(sub, bucket, gen)
+
+        # --- group by code bucket for s2mel/vocoder
+        by_cbucket: Dict[int, List[dict]] = {}
+        for job in jobs:
+            by_cbucket.setdefault(job["cbucket"], []).append(job)
+        for cbucket, group in by_cbucket.items():
+            for ofs in range(0, len(group), batch_cap):
+                self._mel_jobs(group[ofs:ofs + batch_cap], cbucket)
+
+        # --- reassemble per request
+        results: List[InferenceResult] = []
+        total = time.perf_counter() - start
+        for ri, (req, spk, emovec, segments) in enumerate(prepared):
+            wavs = [j["wav"] for j in sorted(
+                (j for j in jobs if j["req"] == ri), key=lambda j: j["seg"])]
+            full = post.insert_interval_silence(
+                wavs, cfg.engine.sample_rate, req.get("interval_silence", 200))
+            wav_len = len(full) / cfg.engine.sample_rate
+            metrics = {"inference_time": total, "audio_length": wav_len,
+                       "rtf": total / wav_len if wav_len > 0 else 0.0}
+            wav_i16 = np.clip(full * 32767.0, -32767.0, 32767.0).astype(np.int16)
+            results.append(InferenceResult(wav_i16, cfg.engine.sample_rate,
+                                           metrics))
+        return results
+
+    def _decode_jobs(self, jobs: List[dict], bucket: int, gen) -> None:
+        cfg = self.cfg
+        b = len(jobs)
+        text = np.zeros((b, bucket), np.int32)
+        lens = np.zeros((b,), np.int32)
+        for i, job in enumerate(jobs):
+            ids = job["ids"][:bucket]
+            text[i, :len(ids)] = ids
+            lens[i] = len(ids)
+        cond = jnp.concatenate([j["spk"]["cond_latents"] for j in jobs], axis=0)
+        emo = jnp.concatenate([j["emovec"] for j in jobs], axis=0)
+        self._rng, sub = jax.random.split(self._rng)
+        decode_fn = gpt_decode if gen.num_beams <= 1 or b > 1 else beam_decode
+        res = decode_fn(self.params_gpt_rt, self.gpt, gen, cond, emo,
+                        jnp.asarray(text), jnp.asarray(lens), sub,
+                        max_new=gen.max_mel_tokens)
+        codes_np = np.asarray(res.codes)
+        lengths_np = np.asarray(res.lengths)
+        hit = np.asarray(res.hit_limit)
+        for i, job in enumerate(jobs):
+            code_len = max(int(lengths_np[i] - (0 if hit[i] else 1)), 1)
+            row, row_len = post.remove_long_silence(
+                codes_np[i:i + 1, :code_len], np.asarray([code_len]),
+                cfg.gpt.stop_mel_token, cfg.engine.silent_token)
+            job["codes"] = row[0]
+            job["code_len"] = int(row_len[0])
+            job["cbucket"] = post.pick_bucket(job["code_len"],
+                                              self._code_buckets())
+            job["text_row"] = text[i]
+            job["text_len"] = int(lens[i])
+
+    def _mel_jobs(self, jobs: List[dict], cbucket: int) -> None:
+        cfg = self.cfg
+        b = len(jobs)
+        tbucket = max(j["bucket"] for j in jobs)
+        text = np.zeros((b, tbucket), np.int32)
+        tlens = np.zeros((b,), np.int32)
+        codes = np.zeros((b, cbucket), np.int32)
+        clens = np.zeros((b,), np.int32)
+        for i, job in enumerate(jobs):
+            text[i, :len(job["text_row"])] = job["text_row"][:tbucket]
+            tlens[i] = job["text_len"]
+            codes[i, :job["code_len"]] = job["codes"][:job["code_len"]]
+            clens[i] = job["code_len"]
+        cond = jnp.concatenate([j["spk"]["cond_latents"] for j in jobs], axis=0)
+        emo = jnp.concatenate([j["emovec"] for j in jobs], axis=0)
+
+        latent = self._gpt_latent(self.params_gpt_rt, cond, emo,
+                                  jnp.asarray(text), jnp.asarray(tlens),
+                                  jnp.asarray(codes), jnp.asarray(clens))
+
+        pbucket = self.prompt_mel_frames
+        prompt_condition = jnp.concatenate(
+            [j["spk"]["prompt_condition"][:, :pbucket] for j in jobs], axis=0)
+        ref_mel = jnp.concatenate(
+            [j["spk"]["ref_mel"][:, :, :pbucket] for j in jobs], axis=0)
+        style = jnp.concatenate([j["spk"]["style"] for j in jobs], axis=0)
+        mel_frames = jnp.asarray([j["spk"]["mel_frames"] for j in jobs])
+
+        mbucket = self._mel_bucket_for(cbucket)
+        self._rng, sub = jax.random.split(self._rng)
+        mel, target_len = self._s2mel_chain(
+            self.params["s2mel"], self.params["repcodec"], latent,
+            jnp.asarray(codes), jnp.asarray(clens), prompt_condition,
+            mel_frames, ref_mel, style, sub, cbucket, mbucket)
+        wav = np.asarray(self._vocode(self.params["vocoder"], mel))
+        tls = np.asarray(target_len)
+        hop = cfg.mel.hop_size
+        for i, job in enumerate(jobs):
+            job["wav"] = np.clip(wav[i, 0, : int(tls[i]) * hop], -1.0, 1.0)
+
     def _synthesize_segment(self, seg_tokens: List[str], spk: dict,
                             emovec: jnp.ndarray, timers: dict, verbose: bool,
                             generation_kwargs: dict) -> np.ndarray:

@@ -72,21 +72,41 @@ class TTSService:
             asyncio.create_task(self._worker(i, engine, q))
 
     async def _worker(self, idx: int, engine, q: asyncio.Queue):
+        """Continuous-batching worker: drains queued requests (up to
+        `server.max_batch_size`, with a short gather window) into one
+        `engine.infer_batch` call."""
         loop = asyncio.get_running_loop()
+        max_batch = getattr(engine.cfg.server, "max_batch_size", 8)
         while True:
-            job = await q.get()
-            fut, fn = job
+            fut, req = await q.get()
+            batch = [(fut, req)]
+            # small gather window lets concurrent requests coalesce
+            deadline = loop.time() + 0.02
+            while len(batch) < max_batch:
+                timeout = deadline - loop.time()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(await asyncio.wait_for(q.get(), timeout))
+                except asyncio.TimeoutError:
+                    break
+            reqs = [r for _, r in batch]
             try:
-                result = await loop.run_in_executor(None, fn)
-                fut.set_result(result)
+                results = await loop.run_in_executor(
+                    None, lambda: engine.infer_batch(reqs))
+                for (f, _), res in zip(batch, results):
+                    if not f.done():
+                        f.set_result(res)
             except Exception as e:  # noqa: BLE001
-                fut.set_exception(e)
+                for f, _ in batch:
+                    if not f.done():
+                        f.set_exception(e)
 
-    async def submit(self, fn):
+    async def submit(self, req: dict):
         q = self._queues[self._next % len(self._queues)]
         self._next += 1
         fut = asyncio.get_running_loop().create_future()
-        await q.put((fut, fn))
+        await q.put((fut, req))
         return await fut
 
     # ------------------------------------------------------------------
@@ -158,16 +178,13 @@ class TTSService:
                         emo_vector = create_emotion_vector(request.emotion)
 
                 start = time.time()
-
-                def run():
-                    engine = self.engines[0]
-                    return engine.infer(
-                        spk_audio, request.text, None,
-                        emo_audio_prompt=emo_audio,
-                        emo_alpha=emo_alpha if emo_audio else 1.0,
-                        emo_vector=emo_vector, verbose=False)
-
-                result = await self.submit(run)
+                result = await self.submit({
+                    "spk_audio_prompt": spk_audio,
+                    "text": request.text,
+                    "emo_audio_prompt": emo_audio,
+                    "emo_alpha": emo_alpha if emo_audio else 1.0,
+                    "emo_vector": emo_vector,
+                })
                 inference_time = time.time() - start
 
                 from voice_tts_tpu.audio import encode_wav_int16
