@@ -111,3 +111,41 @@ def test_normalizer_reference_cases():
     assert "XVAN4" in out and "GAN3" in out  # pinyin preserved + jqx u->v
     assert "克里斯托弗-诺兰" in n.normalize("克里斯托弗·诺兰执导")
     assert n.normalize("2002年的第一场雪") == "二零零二年的第一场雪"
+
+
+def test_native_tn_matches_python():
+    """C++ TN core == the Python reference rules over a number sweep."""
+    import pytest as _pytest
+
+    from voice_tts_tpu.text import native_tn
+    from voice_tts_tpu.text import normalizer as tn
+
+    if native_tn.get_lib() is None:
+        _pytest.skip("no C++ toolchain")
+
+    import random
+    rng = random.Random(0)
+    cases = list(range(0, 130)) + [1000, 1001, 10000, 10250, 100001,
+                                   200000000, 100000200]
+    cases += [rng.randrange(0, 10 ** 12) for _ in range(200)]
+    for n in cases:
+        native = native_tn.zh_read_integer(n)
+        # bypass the native hook for the python answer
+        orig = native_tn.zh_read_integer
+        native_tn.zh_read_integer = lambda _: None
+        try:
+            py = tn.zh_read_integer(n)
+        finally:
+            native_tn.zh_read_integer = orig
+        assert native == py, (n, native, py)
+
+        native_en = native_tn.en_read_integer(n)
+        orig_en = native_tn.en_read_integer
+        native_tn.en_read_integer = lambda _: None
+        try:
+            py_en = tn.en_read_integer(n)
+        finally:
+            native_tn.en_read_integer = orig_en
+        assert native_en == py_en, (n, native_en, py_en)
+
+    assert native_tn.zh_read_digits("13800") == "一三八零零"

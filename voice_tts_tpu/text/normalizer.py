@@ -53,7 +53,14 @@ def zh_read_digits(digits: str) -> str:
 
 
 def zh_read_integer(num: int) -> str:
-    """Standard Chinese integer reading: 10250 -> 一万零二百五十."""
+    """Standard Chinese integer reading: 10250 -> 一万零二百五十.
+
+    Uses the native C++ core (`native/tn_core.cpp`) when built; this Python
+    path is the reference implementation and fallback."""
+    from voice_tts_tpu.text import native_tn
+    native = native_tn.zh_read_integer(num)
+    if native is not None:
+        return native
     if num == 0:
         return "零"
     if num < 0:
@@ -109,6 +116,10 @@ _EN_TENS = ["", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy",
 
 
 def en_read_integer(num: int) -> str:
+    from voice_tts_tpu.text import native_tn
+    native = native_tn.en_read_integer(num)
+    if native is not None:
+        return native
     if num < 0:
         return "minus " + en_read_integer(-num)
     if num < 20:
