@@ -114,3 +114,14 @@ def test_error_taxonomy(server):
     # wrong method -> 405
     status, _ = _request(server, "GET", "/tts")
     assert status == 405
+
+
+def test_metrics_endpoint(server):
+    conn = http.client.HTTPConnection("127.0.0.1", server, timeout=30)
+    conn.request("GET", "/metrics")
+    resp = conn.getresponse()
+    body = resp.read().decode()
+    conn.close()
+    assert resp.status == 200
+    assert "tts_requests_total" in body
+    assert "tts_queue_depth" in body

@@ -306,7 +306,13 @@ class TTSEngine:
 
         @jax.jit
         def vocode(voc_params, mel):
-            return self.vocoder.apply(voc_params, mel)
+            wav = self.vocoder.apply(voc_params, mel)
+            wav = jnp.clip(wav * 32767.0, -32767.0, 32767.0).astype(jnp.int16)
+            # (B, frames, hop): both minor dims are tile-aligned, so the
+            # device buffer carries no padding — (B, 1, T) int16 would pad the
+            # sublane dim 1 -> 32 and transfer 32x the bytes
+            b = wav.shape[0]
+            return wav.reshape(b, -1, cfg.mel.hop_size)
 
         self._vocode = vocode
 
@@ -479,7 +485,7 @@ class TTSEngine:
         for i, seg in enumerate(segments):
             wav = self._synthesize_segment(seg, spk, emovec, timers, verbose,
                                            generation_kwargs)
-            yield np.clip(wav * 32767.0, -32767.0, 32767.0).astype(np.int16)
+            yield wav.astype(np.int16)
             if i < len(segments) - 1 and interval_silence > 0:
                 yield sil
 
@@ -531,7 +537,7 @@ class TTSEngine:
         logger.info("bigvgan_time: %.2f s", timers["bigvgan_time"])
         logger.info("RTF: %.4f", metrics["rtf"])
 
-        wav_i16 = np.clip(full * 32767.0, -32767.0, 32767.0).astype(np.int16)
+        wav_i16 = full.astype(np.int16)
         if output_path:
             with open(output_path, "wb") as f:
                 f.write(encode_wav_int16(wav_i16, cfg.engine.sample_rate))
@@ -603,9 +609,8 @@ class TTSEngine:
             wav_len = len(full) / cfg.engine.sample_rate
             metrics = {"inference_time": total, "audio_length": wav_len,
                        "rtf": total / wav_len if wav_len > 0 else 0.0}
-            wav_i16 = np.clip(full * 32767.0, -32767.0, 32767.0).astype(np.int16)
-            results.append(InferenceResult(wav_i16, cfg.engine.sample_rate,
-                                           metrics))
+            results.append(InferenceResult(full.astype(np.int16),
+                                           cfg.engine.sample_rate, metrics))
         return results
 
     def _decode_jobs(self, jobs: List[dict], bucket: int, gen) -> None:
@@ -677,7 +682,7 @@ class TTSEngine:
         tls = np.asarray(target_len)
         hop = cfg.mel.hop_size
         for i, job in enumerate(jobs):
-            job["wav"] = np.clip(wav[i, 0, : int(tls[i]) * hop], -1.0, 1.0)
+            job["wav"] = wav[i].reshape(-1)[: int(tls[i]) * hop]
 
     def _synthesize_segment(self, seg_tokens: List[str], spk: dict,
                             emovec: jnp.ndarray, timers: dict, verbose: bool,
@@ -755,9 +760,9 @@ class TTSEngine:
         # --- vocoder
         t0 = time.perf_counter()
         wav = self._vocode(self.params["vocoder"], mel)
-        wav_np = np.asarray(wav)[0, 0]
+        wav_np = np.asarray(wav)[0].reshape(-1)
         timers["bigvgan_time"] += time.perf_counter() - t0
 
         n_frames = int(np.asarray(target_len)[0])
         hop = self.cfg.mel.hop_size
-        return np.clip(wav_np[: n_frames * hop], -1.0, 1.0)
+        return wav_np[: n_frames * hop]

@@ -22,7 +22,12 @@ from voice_tts_tpu.models.layers import LayerNorm
 
 
 class Conv1DGPT(nn.Module):
-    """HF GPT-2 'Conv1D': y = x @ W + b with W stored (in, out)."""
+    """HF GPT-2 'Conv1D': y = x @ W + b with W stored (in, out).
+
+    Supports int8 weight-only decode: when the param tree carries a sibling
+    `scale` (see `voice_tts_tpu.utils.quantize`), W is int8 and the
+    dequantizing convert fuses into the dot operand, halving the HBM read.
+    """
 
     features: int
 
@@ -31,7 +36,11 @@ class Conv1DGPT(nn.Module):
         w = self.param("weight", nn.initializers.normal(0.02),
                        (x.shape[-1], self.features))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
-        return x @ w + b
+        if self.is_initializing() or not self.has_variable("params", "scale"):
+            return x @ w + b
+        scale = self.get_variable("params", "scale")
+        y = jnp.dot(x, w.astype(x.dtype))
+        return y * scale.astype(x.dtype) + b
 
 
 class GPT2Block(nn.Module):

@@ -39,6 +39,12 @@ class TTSService:
         self.engines: List = []
         self._queues: List[asyncio.Queue] = []
         self._next = 0
+        self.metrics = {
+            "tts_requests_total": 0, "tts_requests_failed": 0,
+            "tts_inference_seconds_total": 0.0,
+            "tts_audio_seconds_total": 0.0, "tts_batches_total": 0,
+            "tts_batched_requests_total": 0,
+        }
         self._register_routes()
 
     # ------------------------------------------------------------------
@@ -91,6 +97,8 @@ class TTSService:
                 except asyncio.TimeoutError:
                     break
             reqs = [r for _, r in batch]
+            self.metrics["tts_batches_total"] += 1
+            self.metrics["tts_batched_requests_total"] += len(reqs)
             try:
                 results = await loop.run_in_executor(
                     None, lambda: engine.infer_batch(reqs))
@@ -102,11 +110,13 @@ class TTSService:
                     if not f.done():
                         f.set_exception(e)
 
-    async def submit(self, req: dict):
+    async def submit(self, req: dict, timeout: Optional[float] = None):
         q = self._queues[self._next % len(self._queues)]
         self._next += 1
         fut = asyncio.get_running_loop().create_future()
         await q.put((fut, req))
+        if timeout:
+            return await asyncio.wait_for(fut, timeout)
         return await fut
 
     # ------------------------------------------------------------------
@@ -147,6 +157,20 @@ class TTSService:
                 },
             })
 
+        @s.route("GET", "/metrics")
+        async def metrics(req: Request) -> Response:
+            """Prometheus text exposition (the reference README recommends a
+            Prometheus setup but ships no endpoint)."""
+            lines = []
+            for key, val in self.metrics.items():
+                lines.append(f"# TYPE {key} counter")
+                lines.append(f"{key} {val}")
+            lines.append("# TYPE tts_queue_depth gauge")
+            depth = sum(q.qsize() for q in self._queues)
+            lines.append(f"tts_queue_depth {depth}")
+            return Response("\n".join(lines) + "\n",
+                            content_type="text/plain; version=0.0.4")
+
         @s.route("POST", "/tts")
         async def tts(req: Request) -> Response:
             if not self.engines:
@@ -178,18 +202,29 @@ class TTSService:
                         emo_vector = create_emotion_vector(request.emotion)
 
                 start = time.time()
-                result = await self.submit({
-                    "spk_audio_prompt": spk_audio,
-                    "text": request.text,
-                    "emo_audio_prompt": emo_audio,
-                    "emo_alpha": emo_alpha if emo_audio else 1.0,
-                    "emo_vector": emo_vector,
-                })
+                self.metrics["tts_requests_total"] += 1
+                timeout = None
+                if self.engines:
+                    timeout = getattr(self.engines[0].cfg.server,
+                                      "request_timeout_s", None)
+                try:
+                    result = await self.submit({
+                        "spk_audio_prompt": spk_audio,
+                        "text": request.text,
+                        "emo_audio_prompt": emo_audio,
+                        "emo_alpha": emo_alpha if emo_audio else 1.0,
+                        "emo_vector": emo_vector,
+                    }, timeout=timeout)
+                except asyncio.TimeoutError:
+                    self.metrics["tts_requests_failed"] += 1
+                    return Response({"detail": "inference timed out"}, 504)
                 inference_time = time.time() - start
+                self.metrics["tts_inference_seconds_total"] += inference_time
 
                 from voice_tts_tpu.audio import encode_wav_int16
                 wav_bytes = encode_wav_int16(result.wav, result.sample_rate)
                 audio_length = len(result.wav) / result.sample_rate
+                self.metrics["tts_audio_seconds_total"] += audio_length
                 resp = TTSResponse(
                     audio_hex=wav_bytes.hex(),
                     audio_length=audio_length,
@@ -199,10 +234,13 @@ class TTSService:
                 )
                 return Response(resp.model_dump())
             except ApiError as e:
+                self.metrics["tts_requests_failed"] += 1
                 return Response({"detail": e.detail}, e.status)
             except ValueError as e:
+                self.metrics["tts_requests_failed"] += 1
                 return Response({"detail": str(e)}, 400)
             except Exception as e:  # noqa: BLE001
+                self.metrics["tts_requests_failed"] += 1
                 logger.exception("TTS inference failed")
                 return Response({"detail": f"TTS inference failed: {e}"}, 500)
 

@@ -29,18 +29,26 @@ class Request:
 
 
 class Response:
-    def __init__(self, payload, status: int = 200):
+    def __init__(self, payload, status: int = 200,
+                 content_type: str = "application/json"):
         self.status = status
         self.payload = payload
+        self.content_type = content_type
 
     def encode(self) -> bytes:
-        body = json.dumps(self.payload, default=str).encode("utf-8")
+        if self.content_type == "application/json":
+            body = json.dumps(self.payload, default=str).encode("utf-8")
+        elif isinstance(self.payload, bytes):
+            body = self.payload
+        else:
+            body = str(self.payload).encode("utf-8")
         reason = {200: "OK", 400: "Bad Request", 404: "Not Found",
                   405: "Method Not Allowed", 408: "Request Timeout",
                   422: "Unprocessable Entity", 500: "Internal Server Error",
-                  503: "Service Unavailable"}.get(self.status, "")
+                  503: "Service Unavailable", 504: "Gateway Timeout"}.get(
+                      self.status, "")
         head = (f"HTTP/1.1 {self.status} {reason}\r\n"
-                f"Content-Type: application/json\r\n"
+                f"Content-Type: {self.content_type}\r\n"
                 f"Content-Length: {len(body)}\r\n"
                 f"Access-Control-Allow-Origin: *\r\n"
                 f"Connection: keep-alive\r\n\r\n")
