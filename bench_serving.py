@@ -1,0 +1,130 @@
+"""Served-workload benchmark: concurrent /tts requests with continuous
+batching (BASELINE config #5: 16 concurrent mixed-length requests).
+
+Prints ONE JSON line with p50 latency and aggregate throughput.  Not the
+driver's primary bench (that's bench.py); run manually:
+
+    python bench_serving.py [--concurrency 16] [--requests 32] [--tiny]
+"""
+
+import argparse
+import json
+import sys
+import threading
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--concurrency", type=int, default=16)
+    parser.add_argument("--requests", type=int, default=32)
+    parser.add_argument("--tiny", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from voice_tts_tpu.audio import encode_wav_int16
+    from bench import build_engine
+
+    engine = build_engine(args.tiny)
+    engine.cfg.server.max_batch_size = min(8, args.concurrency)
+
+    sr = 22050
+    rng = np.random.default_rng(0)
+    prompts = []
+    for sec in (3.0, 5.0, 8.0):
+        t = np.arange(int(sec * sr)) / sr
+        tone = (0.4 * np.sin(2 * np.pi * rng.uniform(180, 320) * t)).astype(np.float32)
+        prompts.append(encode_wav_int16(tone * 32767, sr))
+    texts = ["今天天气真好我们一起出去散步聊天吧.",
+             "欢迎体验这个全新的语音合成系统谢谢.",
+             "这是一个比较长的句子用来测试不同长度的请求情况如何."]
+
+    # warm-up: compile decode/s2mel graphs for batch buckets
+    for b in (1, 2, 4, 8):
+        if b > engine.cfg.server.max_batch_size:
+            break
+        reqs = [{"spk_audio_prompt": prompts[i % 3], "text": texts[i % 3]}
+                for i in range(b)]
+        engine.infer_batch(reqs)
+
+    latencies = []
+    lock = threading.Lock()
+    sem = threading.Semaphore(args.concurrency)
+    pending = []
+    audio_total = [0.0]
+
+    # run through infer_batch with a software batcher mimicking the server
+    batch_lock = threading.Lock()
+    queue = []
+    done = threading.Event()
+
+    def batcher():
+        while not done.is_set() or queue:
+            with batch_lock:
+                batch, queue[:] = queue[:engine.cfg.server.max_batch_size], \
+                    queue[engine.cfg.server.max_batch_size:]
+            if not batch:
+                time.sleep(0.005)
+                continue
+            reqs = [b[1] for b in batch]
+            results = engine.infer_batch(reqs)
+            for (ev, _, holder), res in zip(batch, results):
+                holder.append(res)
+                ev.set()
+
+    worker = threading.Thread(target=batcher, daemon=True)
+    worker.start()
+
+    def one_request(i):
+        req = {"spk_audio_prompt": prompts[i % 3], "text": texts[i % 3]}
+        holder = []
+        ev = threading.Event()
+        t0 = time.perf_counter()
+        with batch_lock:
+            queue.append((ev, req, holder))
+        ev.wait()
+        dt = time.perf_counter() - t0
+        with lock:
+            latencies.append(dt)
+            audio_total[0] += holder[0].metrics["audio_length"]
+        sem.release()
+
+    t_start = time.perf_counter()
+    threads = []
+    for i in range(args.requests):
+        sem.acquire()
+        th = threading.Thread(target=one_request, args=(i,))
+        th.start()
+        threads.append(th)
+    for th in threads:
+        th.join()
+    done.set()
+    wall = time.perf_counter() - t_start
+
+    lat = np.asarray(sorted(latencies))
+    result = {
+        "metric": "served_p50_latency_16cc",
+        "value": round(float(np.percentile(lat, 50)), 4),
+        "unit": "s",
+        "vs_baseline": 0.0,
+        "detail": {
+            "p90_s": round(float(np.percentile(lat, 90)), 4),
+            "requests": args.requests,
+            "concurrency": args.concurrency,
+            "wall_s": round(wall, 3),
+            "audio_seconds": round(audio_total[0], 2),
+            "aggregate_rtf": round(wall / max(audio_total[0], 1e-9), 4),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -121,6 +121,10 @@ class TTSEngine:
         self.w2v_frames = self.seamless.num_output_frames(self.prompt_samples_16k)
 
         self.qwen_emo = None  # optional QwenEmotion (text-driven emotion)
+        # generation-config memo: configs hash by identity (jit static args),
+        # so per-request overrides must map to stable objects or every call
+        # would recompile the decode graph
+        self._gen_cache: Dict[tuple, object] = {}
         # bf16 GPT runtime params for decode + teacher-forced latent
         # (reference runs fp16 autocast on the GPT only, `infer_v2.py:628,695`)
         if cfg.engine.use_fp16:
@@ -402,6 +406,16 @@ class TTSEngine:
     # inference
     # ------------------------------------------------------------------
 
+    def _generation_config(self, overrides: Optional[dict]):
+        base = self.cfg.generation
+        if not overrides:
+            return base
+        kv = tuple(sorted((k, v) for k, v in overrides.items()
+                          if hasattr(base, k)))
+        if kv not in self._gen_cache:
+            self._gen_cache[kv] = dataclasses.replace(base, **dict(kv))
+        return self._gen_cache[kv]
+
     def _code_buckets(self) -> Tuple[int, ...]:
         return tuple(self.cfg.engine.code_buckets)
 
@@ -613,19 +627,33 @@ class TTSEngine:
                                            cfg.engine.sample_rate, metrics))
         return results
 
+    @staticmethod
+    def _batch_bucket(n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+
     def _decode_jobs(self, jobs: List[dict], bucket: int, gen) -> None:
         cfg = self.cfg
-        b = len(jobs)
+        # pad the batch to a power-of-2 bucket so distinct group sizes don't
+        # each compile a fresh decode graph
+        b = self._batch_bucket(len(jobs))
         text = np.zeros((b, bucket), np.int32)
-        lens = np.zeros((b,), np.int32)
+        lens = np.ones((b,), np.int32)
         for i, job in enumerate(jobs):
             ids = job["ids"][:bucket]
             text[i, :len(ids)] = ids
             lens[i] = len(ids)
-        cond = jnp.concatenate([j["spk"]["cond_latents"] for j in jobs], axis=0)
-        emo = jnp.concatenate([j["emovec"] for j in jobs], axis=0)
+        def padded_cat(rows):
+            rows = rows + [rows[0]] * (b - len(rows))
+            return jnp.concatenate(rows, axis=0)
+
+        cond = padded_cat([j["spk"]["cond_latents"] for j in jobs])
+        emo = padded_cat([j["emovec"] for j in jobs])
         self._rng, sub = jax.random.split(self._rng)
-        decode_fn = gpt_decode if gen.num_beams <= 1 or b > 1 else beam_decode
+        decode_fn = (gpt_decode if gen.num_beams <= 1 or len(jobs) > 1
+                     else beam_decode)
         res = decode_fn(self.params_gpt_rt, self.gpt, gen, cond, emo,
                         jnp.asarray(text), jnp.asarray(lens), sub,
                         max_new=gen.max_mel_tokens)
@@ -646,31 +674,41 @@ class TTSEngine:
 
     def _mel_jobs(self, jobs: List[dict], cbucket: int) -> None:
         cfg = self.cfg
-        b = len(jobs)
-        tbucket = max(j["bucket"] for j in jobs)
+        b = self._batch_bucket(len(jobs))
+        tbucket = post.pick_bucket(max(j["bucket"] for j in jobs),
+                                   cfg.engine.text_buckets)
         text = np.zeros((b, tbucket), np.int32)
-        tlens = np.zeros((b,), np.int32)
+        tlens = np.ones((b,), np.int32)
         codes = np.zeros((b, cbucket), np.int32)
-        clens = np.zeros((b,), np.int32)
+        clens = np.ones((b,), np.int32)
         for i, job in enumerate(jobs):
             text[i, :len(job["text_row"])] = job["text_row"][:tbucket]
             tlens[i] = job["text_len"]
             codes[i, :job["code_len"]] = job["codes"][:job["code_len"]]
             clens[i] = job["code_len"]
-        cond = jnp.concatenate([j["spk"]["cond_latents"] for j in jobs], axis=0)
-        emo = jnp.concatenate([j["emovec"] for j in jobs], axis=0)
+        def padded_cat(rows, axis=0):
+            rows = rows + [rows[0]] * (b - len(rows))
+            return jnp.concatenate(rows, axis=axis)
+
+        cond = padded_cat([j["spk"]["cond_latents"] for j in jobs])
+        emo = padded_cat([j["emovec"] for j in jobs])
 
         latent = self._gpt_latent(self.params_gpt_rt, cond, emo,
                                   jnp.asarray(text), jnp.asarray(tlens),
                                   jnp.asarray(codes), jnp.asarray(clens))
 
-        pbucket = self.prompt_mel_frames
-        prompt_condition = jnp.concatenate(
-            [j["spk"]["prompt_condition"][:, :pbucket] for j in jobs], axis=0)
-        ref_mel = jnp.concatenate(
-            [j["spk"]["ref_mel"][:, :, :pbucket] for j in jobs], axis=0)
-        style = jnp.concatenate([j["spk"]["style"] for j in jobs], axis=0)
-        mel_frames = jnp.asarray([j["spk"]["mel_frames"] for j in jobs])
+        pbuckets = tuple(x for x in cfg.engine.prompt_frame_buckets
+                         if x < self.prompt_mel_frames) + (self.prompt_mel_frames,)
+        pbucket = post.pick_bucket(max(j["spk"]["mel_frames"] for j in jobs),
+                                   pbuckets)
+        prompt_condition = padded_cat(
+            [j["spk"]["prompt_condition"][:, :pbucket] for j in jobs])
+        ref_mel = padded_cat(
+            [j["spk"]["ref_mel"][:, :, :pbucket] for j in jobs])
+        style = padded_cat([j["spk"]["style"] for j in jobs])
+        mel_frames = jnp.asarray(
+            [j["spk"]["mel_frames"] for j in jobs]
+            + [jobs[0]["spk"]["mel_frames"]] * (b - len(jobs)))
 
         mbucket = self._mel_bucket_for(cbucket)
         self._rng, sub = jax.random.split(self._rng)
@@ -688,9 +726,7 @@ class TTSEngine:
                             emovec: jnp.ndarray, timers: dict, verbose: bool,
                             generation_kwargs: dict) -> np.ndarray:
         cfg = self.cfg
-        gen = dataclasses.replace(cfg.generation, **{
-            k: v for k, v in generation_kwargs.items()
-            if hasattr(cfg.generation, k)}) if generation_kwargs else cfg.generation
+        gen = self._generation_config(generation_kwargs)
 
         ids = self.tokenizer.convert_tokens_to_ids(seg_tokens)
         text_len = len(ids)
