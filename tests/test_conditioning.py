@@ -158,3 +158,34 @@ def test_campplus_masked_padding_parity():
     ours = np.asarray(CAMPPlus(CAMPPlusConfig(embedding_size=192)).apply(
         params, padded, jnp.asarray([true_len])))
     np.testing.assert_allclose(ours, ref_out, atol=5e-4, rtol=2e-3)
+
+
+@needs_ref
+def test_repcodec_reconstruction_parity():
+    """Full autoencode (down -> encode -> vq -> decode -> up) vs reference."""
+    install_reference()
+    import torch
+    from indextts.utils.maskgct.models.codec.kmeans.repcodec_model import (
+        RepCodec as RefRepCodec,
+    )
+
+    torch.manual_seed(7)
+    ref = RefRepCodec(codebook_size=64, hidden_size=32, codebook_dim=8,
+                      vocos_dim=16, vocos_intermediate_dim=32,
+                      vocos_num_layers=2, downsample_scale=2)
+    ref.eval()
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(1, 12, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref_rec, _, _ = ref(torch.from_numpy(x))
+
+    cfg = RepCodecConfig(codebook_size=64, hidden_size=32, codebook_dim=8,
+                         vocos_dim=16, vocos_intermediate_dim=32,
+                         vocos_num_layers=2, downsample_scale=2)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_repcodec(sd)
+    ours = np.asarray(RepCodec(cfg).apply(params, jnp.asarray(x),
+                                          method=RepCodec.reconstruct))
+    assert ours.shape == tuple(ref_rec.shape)
+    np.testing.assert_allclose(ours, ref_rec.numpy(), atol=1e-5, rtol=1e-4)

@@ -367,6 +367,7 @@ class TTSEngine:
     def _speaker_conditioning(self, spk_audio_prompt) -> dict:
         key = self._content_key(spk_audio_prompt)
         if key in self._spk_cache:
+            self._spk_cache[key] = self._spk_cache.pop(key)  # LRU touch
             return self._spk_cache[key]
         audio, sr = load_prompt_audio(spk_audio_prompt,
                                       self.cfg.engine.max_prompt_seconds)
@@ -382,14 +383,15 @@ class TTSEngine:
             "prompt_condition": prompt_condition, "mel_frames": mel_frames,
             "cond_latents": cond_latents, "spk_emovec": spk_emovec,
         }
-        if len(self._spk_cache) > 16:
-            self._spk_cache.clear()
+        while len(self._spk_cache) >= 16:  # LRU eviction
+            self._spk_cache.pop(next(iter(self._spk_cache)))
         self._spk_cache[key] = entry
         return entry
 
     def _emotion_conditioning(self, emo_audio_prompt) -> jnp.ndarray:
         key = self._content_key(emo_audio_prompt)
         if key in self._emo_cache:
+            self._emo_cache[key] = self._emo_cache.pop(key)  # LRU touch
             return self._emo_cache[key]
         audio, sr = load_prompt_audio(emo_audio_prompt,
                                       self.cfg.engine.max_prompt_seconds)
@@ -397,8 +399,8 @@ class TTSEngine:
         emb, length = self._emo_features(self.params["w2v"], jnp.asarray(buf16),
                                          jnp.asarray([n16]))
         emovec = self._gpt_emovec(self.params["gpt"], emb, length)
-        if len(self._emo_cache) > 16:
-            self._emo_cache.clear()
+        while len(self._emo_cache) >= 16:
+            self._emo_cache.pop(next(iter(self._emo_cache)))
         self._emo_cache[key] = emovec
         return emovec
 

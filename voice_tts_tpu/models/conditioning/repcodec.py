@@ -4,10 +4,9 @@ Parity with reference
 `utils/maskgct/models/codec/kmeans/repcodec_model.py` (encoder = VocosBackbone
 ConvNeXt stack + linear) and
 `amphion_codec/quantize/factorized_vector_quantize.py` (single L2-normalized
-factorized VQ).  Only the inference surface is implemented: `quantize`
-(features -> codes + quantized embeddings) and `vq2emb` (codes -> embeddings)
-— the decode/reconstruction path is not on the serving path
-(reference `infer_v2.py:526,716`).
+factorized VQ).  The serving path uses `__call__` (quantize) and
+`repcodec_vq2emb`; `reconstruct` provides the full autoencode for codec
+analysis.
 """
 
 from __future__ import annotations
@@ -97,21 +96,56 @@ class FactorizedVQ(nn.Module):
 class RepCodec(nn.Module):
     cfg: RepCodecConfig
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        self.downsampled = bool(cfg.downsample_scale and cfg.downsample_scale > 1)
+        if self.downsampled:
+            self.down = Conv1d(cfg.hidden_size, 3, stride=2, padding=1,
+                               name="down")
+            self.up = Conv1d(cfg.hidden_size, 3, padding=1, name="up")
+        self.encoder_backbone = VocosBackbone(
+            cfg.vocos_dim, cfg.vocos_intermediate_dim, cfg.vocos_num_layers)
+        self.encoder_out = Linear(cfg.hidden_size)
+        self.quantizer = FactorizedVQ(cfg.hidden_size, cfg.codebook_size,
+                                      cfg.codebook_dim)
+        self.decoder_backbone = VocosBackbone(
+            cfg.vocos_dim, cfg.vocos_intermediate_dim, cfg.vocos_num_layers)
+        self.decoder_out = Linear(cfg.hidden_size)
+
+    def _quantize(self, x: jnp.ndarray):
+        h = jnp.transpose(x, (0, 2, 1))  # (B, H, T)
+        if self.downsampled:
+            h = nn.gelu(self.down(h), approximate=False)
+        h = self.encoder_backbone(h)
+        h = self.encoder_out(h)          # (B, T, H)
+        h = jnp.transpose(h, (0, 2, 1))
+        return self.quantizer(h)
+
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """quantize: features (B, T, H) -> (codes (B, T), quantized (B, T, H))."""
-        cfg = self.cfg
-        h = jnp.transpose(x, (0, 2, 1))  # (B, H, T)
-        if cfg.downsample_scale and cfg.downsample_scale > 1:
-            h = Conv1d(cfg.hidden_size, 3, stride=2, padding=1, name="down")(h)
-            h = nn.gelu(h, approximate=False)
-        h = VocosBackbone(cfg.vocos_dim, cfg.vocos_intermediate_dim,
-                          cfg.vocos_num_layers, name="encoder_backbone")(h)
-        h = Linear(cfg.hidden_size, name="encoder_out")(h)   # (B, T, H)
-        h = jnp.transpose(h, (0, 2, 1))                      # (B, H, T)
-        indices, z_q = FactorizedVQ(cfg.hidden_size, cfg.codebook_size,
-                                    cfg.codebook_dim, name="quantizer")(h)
+        indices, z_q = self._quantize(x)
         return indices, jnp.transpose(z_q, (0, 2, 1))
+
+    def reconstruct(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Full autoencoding pass (reference `repcodec_model.py:140-173`).
+
+        Not on the serving path; init via `init_full` to create the decoder.
+        """
+        _, z_q = self._quantize(x)       # (B, H, T)
+        h = self.decoder_backbone(z_q)
+        h = self.decoder_out(h)          # (B, T, H)
+        if self.downsampled:
+            h = jnp.transpose(h, (0, 2, 1))
+            h = jnp.repeat(h, 2, axis=-1)  # nearest x2
+            h = self.up(h)
+            h = jnp.transpose(h, (0, 2, 1))
+        return h
+
+    def init_full(self, x: jnp.ndarray):
+        """Touches encoder + decoder so `init` creates the full tree."""
+        indices, z_q = self(x)
+        rec = self.reconstruct(x)
+        return indices, z_q, rec
 
 
 def repcodec_vq2emb(variables, codes: jnp.ndarray) -> jnp.ndarray:

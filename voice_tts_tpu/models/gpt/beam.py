@@ -102,7 +102,7 @@ def beam_decode(params, model: UnifiedVoice, gen: GenerationConfig,
     valid_k = jnp.broadcast_to(valid, (k, valid.shape[1]))
 
     hd = cfg.model_dim // cfg.heads
-    cache1 = jnp.zeros((cfg.layers, 2, 1, cfg.heads, t_max, hd),
+    cache1 = jnp.zeros((cfg.layers, 2, 1, cfg.heads, hd, t_max),
                        dtype=prompt.dtype)
     logits1, cache1 = model.apply(params, prompt, valid_p, cache1,
                                   method=UnifiedVoice.prefill)

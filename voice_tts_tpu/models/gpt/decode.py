@@ -164,7 +164,7 @@ def decode(params, model: UnifiedVoice, gen: GenerationConfig,
         [valid_p, jnp.ones((b, t_max - p), dtype=bool)], axis=1)
 
     hd = cfg.model_dim // cfg.heads
-    cache0 = jnp.zeros((cfg.layers, 2, b, cfg.heads, t_max, hd),
+    cache0 = jnp.zeros((cfg.layers, 2, b, cfg.heads, hd, t_max),
                        dtype=prompt.dtype)
     logits0, cache = model.apply(params, prompt, valid_p, cache0,
                                  method=UnifiedVoice.prefill)

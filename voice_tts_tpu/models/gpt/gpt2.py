@@ -7,7 +7,10 @@ external).  TPU-native decode: one module handles both prefill and
 single-token steps against a fixed-shape cache, so the whole AR loop stays
 inside `lax.while_loop` with static shapes.
 
-Cache layout: (layers, 2, B, heads, max_len, head_dim).
+Cache layout: (layers, 2, B, heads, head_dim, max_len) — time on the minor
+(lane) axis, so cache tiles stay dense for any head_dim and a future Pallas
+decode-attention kernel can DMA contiguous [0, pos] spans.  (Measured equal
+to the time-major layout under XLA on v5e; kept for the kernel roadmap.)
 """
 
 from __future__ import annotations
@@ -49,7 +52,7 @@ class GPT2Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, kv, cache_index, attn_mask):
-        """x (B,S,D); kv (2,B,H,Tmax,hd) or None; attn_mask (B,S,L) bool.
+        """x (B,S,D); kv (2,B,H,hd,Tmax) or None; attn_mask (B,S,L) bool.
 
         Returns (hidden, new_kv).  Without a cache, L == S (plain causal
         forward).  With a cache, K/V of the current block are written at
@@ -64,13 +67,17 @@ class GPT2Block(nn.Module):
         qkv = Conv1DGPT(3 * d, name="attn_c_attn")(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def heads_first(t):
-            return jnp.transpose(t.reshape(b, s, h, hd), (0, 2, 1, 3))
-        q, k, v = heads_first(q), heads_first(k), heads_first(v)
+        q = jnp.transpose(q.reshape(b, s, h, hd), (0, 2, 1, 3))  # (B,H,S,hd)
+
+        def heads_time_minor(t):  # (B,H,hd,S)
+            return jnp.transpose(t.reshape(b, s, h, hd), (0, 2, 3, 1))
+        k, v = heads_time_minor(k), heads_time_minor(v)
 
         if kv is not None:
-            k_cache = jax.lax.dynamic_update_slice(kv[0], k, (0, 0, cache_index, 0))
-            v_cache = jax.lax.dynamic_update_slice(kv[1], v, (0, 0, cache_index, 0))
+            k_cache = jax.lax.dynamic_update_slice(kv[0], k,
+                                                   (0, 0, 0, cache_index))
+            v_cache = jax.lax.dynamic_update_slice(kv[1], v,
+                                                   (0, 0, 0, cache_index))
             new_kv = jnp.stack([k_cache, v_cache])
             k_all, v_all = k_cache, v_cache
         else:
@@ -78,13 +85,13 @@ class GPT2Block(nn.Module):
             k_all, v_all = k, v
 
         # fp32 scores/softmax regardless of the (possibly bf16) compute dtype
-        scores = jnp.einsum("bhsd,bhld->bhsl", q, k_all,
+        scores = jnp.einsum("bhsd,bhdl->bhsl", q, k_all,
                             preferred_element_type=jnp.float32)
         scores = scores / jnp.sqrt(jnp.asarray(hd, dtype=jnp.float32))
         neg = jnp.finfo(scores.dtype).min
         scores = jnp.where(attn_mask[:, None, :, :], scores, neg)
         probs = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
-        ctx = jnp.einsum("bhsl,bhld->bhsd", probs, v_all)
+        ctx = jnp.einsum("bhsl,bhdl->bhsd", probs, v_all)
         ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, s, d)
         x = res + Conv1DGPT(d, name="attn_c_proj")(ctx)
 
@@ -116,7 +123,7 @@ class GPT2Stack(nn.Module):
         """
         b, s, d = embeds.shape
         if kv_cache is not None:
-            t_max = kv_cache.shape[4]
+            t_max = kv_cache.shape[5]
             pos = jnp.arange(t_max)[None, None, :]
             q_pos = cache_index + jnp.arange(s)[None, :, None]
             mask = jnp.broadcast_to(pos <= q_pos, (b, s, t_max))
@@ -141,5 +148,5 @@ class GPT2Stack(nn.Module):
 
     def init_cache(self, batch: int, max_len: int, dtype=jnp.float32) -> jnp.ndarray:
         hd = self.dim // self.heads
-        return jnp.zeros((self.layers, 2, batch, self.heads, max_len, hd),
+        return jnp.zeros((self.layers, 2, batch, self.heads, hd, max_len),
                          dtype=dtype)

@@ -198,7 +198,7 @@ class UnifiedVoice(nn.Module):
             jnp.zeros((1,), dtype=jnp.int32))[None]
         embeds = jnp.concatenate([prompt_embeds, start_emb], axis=1)
         valid_all = jnp.concatenate(
-            [valid, jnp.ones((b, kv_cache.shape[4] - p), dtype=bool)], axis=1)
+            [valid, jnp.ones((b, kv_cache.shape[5] - p), dtype=bool)], axis=1)
         hidden, cache = self.gpt(embeds.astype(kv_cache.dtype), kv_cache, 0,
                                  valid_all)
         logits = self.mel_head(self.final_norm(hidden[:, -1]).astype(jnp.float32))

@@ -173,9 +173,17 @@ def _zh_verbalize(text: str) -> str:
 
     text = re.sub(r"(\d{1,2}):(\d{2})(?::(\d{2}))?", time_hm, text)
 
-    # phone-like digit runs with separators: 135-4567-8900
-    text = re.sub(r"\d{3,4}-\d{3,4}-\d{3,4}",
-                  lambda m: zh_read_digits(re.sub(r"\D", "", m.group(0))), text)
+    # phone-like digit runs with separators: 135-4567-8900 (1 reads 幺)
+    def phone(m):
+        return zh_read_digits(re.sub(r"\D", "", m.group(0))).replace("一", "幺")
+
+    text = re.sub(r"\d{3,4}-\d{3,4}-\d{3,4}", phone, text)
+    text = re.sub(r"(?<!\d)1[3-9]\d{9}(?!\d)", phone, text)  # bare mobile no.
+
+    # fractions: 3/4 -> 四分之三
+    text = re.sub(r"(?<![\d/])(\d{1,4})/(\d{1,4})(?![\d/])",
+                  lambda m: zh_read_integer(int(m.group(2))) + "分之"
+                  + zh_read_integer(int(m.group(1))), text)
 
     # percent / currency
     text = re.sub(r"(\d+(?:\.\d+)?)%",

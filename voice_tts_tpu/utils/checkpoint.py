@@ -190,7 +190,14 @@ def convert_campplus(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
 
 def repcodec_renamer() -> Renamer:
     r = Renamer()
-    r.rule(r"^decoder\..*", None)          # reconstruction path unused at inference
+    r.rule(r"^decoder\.0\.embed\.(weight|bias)$", r"decoder_backbone/embed/\1")
+    r.rule(r"^decoder\.0\.norm\.(weight|bias)$", r"decoder_backbone/norm/\1")
+    r.rule(r"^decoder\.0\.convnext\.(\d+)\.(dwconv|norm|pwconv1|pwconv2)\.(weight|bias)$",
+           r"decoder_backbone/convnext_\1/\2/\3")
+    r.rule(r"^decoder\.0\.convnext\.(\d+)\.gamma$", r"decoder_backbone/convnext_\1/gamma")
+    r.rule(r"^decoder\.0\.final_layer_norm\.(weight|bias)$",
+           r"decoder_backbone/final_layer_norm/\1")
+    r.rule(r"^decoder\.1\.(weight|bias)$", r"decoder_out/\1")
     r.rule(r"^(down|up)\.(weight|bias)$", r"\1/\2")
     r.rule(r"^encoder\.0\.embed\.(weight|bias)$", r"encoder_backbone/embed/\1")
     r.rule(r"^encoder\.0\.norm\.(weight|bias)$", r"encoder_backbone/norm/\1")
