@@ -39,6 +39,9 @@ def build_engine(tiny: bool):
     cfg.engine.code_buckets = (256,)
     cfg.engine.max_prompt_seconds = 15.0
     cfg.engine.use_fp16 = True  # bf16 GPT decode path
+    # bounded-read Pallas decode attention: measured neutral at this
+    # context length (see STATUS.md); enable for long-context configs
+    cfg.gpt.pallas_decode_attention = False
     return TTSEngine.random(cfg, seed=0)
 
 

@@ -94,6 +94,7 @@ class GPTConfig:
     condition_num_latent: int = 32
     condition_type: str = "conformer_perceiver"
     emo_dim: int = 1024  # width of the emotion perceiver output
+    pallas_decode_attention: bool = False  # bounded-read decode attention
     condition_module: ConformerConfig = field(default_factory=ConformerConfig)
     emo_condition_module: ConformerConfig = field(
         default_factory=lambda: ConformerConfig(num_blocks=4)

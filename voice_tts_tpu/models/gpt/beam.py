@@ -89,6 +89,8 @@ def beam_decode(params, model: UnifiedVoice, gen: GenerationConfig,
     assert b == 1, "beam decode drives one request (use beams for diversity)"
     p = cfg.condition_num_latent + 2 + bl + 2
     t_max = p + 1 + max_new
+    if cfg.pallas_decode_attention:
+        t_max += (-t_max) % 512
     vocab = cfg.number_mel_codes
     eos = cfg.stop_mel_token
 

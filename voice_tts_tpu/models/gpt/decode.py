@@ -151,6 +151,8 @@ def decode(params, model: UnifiedVoice, gen: GenerationConfig,
     b, bl = text_tokens.shape
     p = cfg.condition_num_latent + 2 + bl + 2  # conds(34) + start/text/stop
     t_max = p + 1 + max_new
+    if cfg.pallas_decode_attention:
+        t_max += (-t_max) % 512  # kernel block granularity
     vocab = cfg.number_mel_codes
 
     param_dtype = jax.tree.leaves(params)[0].dtype

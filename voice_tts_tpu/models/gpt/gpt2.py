@@ -49,6 +49,7 @@ class Conv1DGPT(nn.Module):
 class GPT2Block(nn.Module):
     dim: int
     heads: int
+    pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, x, kv, cache_index, attn_mask):
@@ -84,15 +85,27 @@ class GPT2Block(nn.Module):
             new_kv = None
             k_all, v_all = k, v
 
-        # fp32 scores/softmax regardless of the (possibly bf16) compute dtype
-        scores = jnp.einsum("bhsd,bhdl->bhsl", q, k_all,
-                            preferred_element_type=jnp.float32)
-        scores = scores / jnp.sqrt(jnp.asarray(hd, dtype=jnp.float32))
-        neg = jnp.finfo(scores.dtype).min
-        scores = jnp.where(attn_mask[:, None, :, :], scores, neg)
-        probs = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
-        ctx = jnp.einsum("bhsl,bhdl->bhsd", probs, v_all)
-        ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, s, d)
+        if (self.pallas_attention and kv is not None and s == 1
+                and not self.is_initializing()
+                and k_all.shape[3] % 512 == 0):
+            # bounded-read Pallas decode attention: DMAs only [0, pos]
+            from voice_tts_tpu.ops.decode_attention import decode_attention
+
+            bias = jnp.where(attn_mask[:, 0, :], 0.0, -1e30).astype(jnp.float32)
+            interp = jax.default_backend() != "tpu"
+            ctx = decode_attention(q[:, :, 0, :], k_all, v_all, bias,
+                                   cache_index + 1, interpret=interp)
+            ctx = ctx.reshape(b, s, d)
+        else:
+            # fp32 scores/softmax regardless of (possibly bf16) compute dtype
+            scores = jnp.einsum("bhsd,bhdl->bhsl", q, k_all,
+                                preferred_element_type=jnp.float32)
+            scores = scores / jnp.sqrt(jnp.asarray(hd, dtype=jnp.float32))
+            neg = jnp.finfo(scores.dtype).min
+            scores = jnp.where(attn_mask[:, None, :, :], scores, neg)
+            probs = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
+            ctx = jnp.einsum("bhsl,bhdl->bhsd", probs, v_all)
+            ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, s, d)
         x = res + Conv1DGPT(d, name="attn_c_proj")(ctx)
 
         res = x
@@ -107,6 +120,7 @@ class GPT2Stack(nn.Module):
     layers: int
     dim: int
     heads: int
+    pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, embeds: jnp.ndarray,
@@ -138,8 +152,8 @@ class GPT2Stack(nn.Module):
         new_layers = []
         for i in range(self.layers):
             kv = None if kv_cache is None else kv_cache[i]
-            x, new_kv = GPT2Block(d, self.heads, name=f"h_{i}")(
-                x, kv, cache_index, mask)
+            x, new_kv = GPT2Block(d, self.heads, self.pallas_attention,
+                                  name=f"h_{i}")(x, kv, cache_index, mask)
             if new_kv is not None:
                 new_layers.append(new_kv)
         x = LayerNorm(name="ln_f")(x)

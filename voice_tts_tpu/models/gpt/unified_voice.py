@@ -49,7 +49,8 @@ class UnifiedVoice(nn.Module):
         self.emovec_layer = Linear(c.model_dim)   # emo_dim -> model_dim
         self.emo_layer = Linear(c.model_dim)      # model_dim -> model_dim
         self.mel_embedding = Embedding(c.number_mel_codes, c.model_dim)
-        self.gpt = GPT2Stack(c.layers, c.model_dim, c.heads)
+        self.gpt = GPT2Stack(c.layers, c.model_dim, c.heads,
+                             c.pallas_decode_attention)
         # reference: LearnedPositionEmbeddings(max_mel_tokens + 2 + 1) / (+2)
         self.mel_pos_embedding = Embedding(c.max_mel_tokens + 3, c.model_dim)
         self.text_pos_embedding = Embedding(c.max_text_tokens + 2, c.model_dim)
