@@ -27,9 +27,7 @@ def build_engine(tiny: bool):
     from voice_tts_tpu.engine import TTSEngine
 
     if tiny:
-        sys.path.insert(0, "tests")
-        from test_engine import _tiny_engine
-        return _tiny_engine()
+        return TTSEngine.tiny()
 
     cfg = TTSConfig()
     # bench-scale generation: ~5 s of audio for a 20-char utterance

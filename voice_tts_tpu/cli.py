@@ -59,9 +59,7 @@ def main(argv=None):
     if args.model_dir:
         engine = TTSEngine.from_artifacts(args.model_dir)
     elif args.tiny:
-        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
-        from test_engine import _tiny_engine
-        engine = _tiny_engine()
+        engine = TTSEngine.tiny()
     elif args.random:
         engine = TTSEngine.random(TTSConfig())
     else:

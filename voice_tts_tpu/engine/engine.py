@@ -176,6 +176,27 @@ class TTSEngine:
         return cls(cfg, params, tokenizer, extras)
 
     @classmethod
+    def tiny(cls, seed: int = 0) -> "TTSEngine":
+        """Miniature random-weight engine (CPU-friendly smoke tests)."""
+        cfg = TTSConfig.tiny()
+        cfg.engine.max_prompt_seconds = 1.0
+        cfg.generation.max_mel_tokens = 24
+        cfg.generation.num_beams = 1
+        # keep the cross-model dims consistent at tiny scale
+        cfg.w2v_bert.feature_projection_input_dim = 160
+        cfg.gpt.condition_module.input_size = cfg.w2v_bert.hidden_size
+        cfg.gpt.emo_condition_module.input_size = cfg.w2v_bert.hidden_size
+        cfg.semantic_codec.hidden_size = cfg.w2v_bert.hidden_size
+        cfg.s2mel.dit.content_dim = cfg.s2mel.length_regulator.channels
+        cfg.s2mel.gpt_dim = cfg.gpt.model_dim
+        cfg.s2mel.gpt_layer_out = cfg.w2v_bert.hidden_size
+        cfg.s2mel.dit.in_channels = cfg.mel.num_mels
+        cfg.s2mel.dit.style_dim = cfg.campplus.embedding_size
+        cfg.s2mel.wavenet.hidden_dim = cfg.s2mel.dit.hidden_dim
+        cfg.vocoder.num_mels = cfg.mel.num_mels
+        return cls.random(cfg, seed=seed)
+
+    @classmethod
     def random(cls, cfg: TTSConfig, seed: int = 0) -> "TTSEngine":
         """Random-weight engine (benchmarks / tests; no checkpoint needed)."""
         key = jax.random.PRNGKey(seed)

@@ -36,18 +36,34 @@ def _kernel(pos_ref, q_ref, bias_ref, k_ref, v_ref, o_ref):
     def body(kbuf, vbuf, sem_k, sem_v):
         q = q_ref[0].astype(jnp.float32)     # (H, hd)
 
+        def dma_k(j, slot):
+            return pltpu.make_async_copy(
+                k_ref.at[bi, :, :, pl.ds(j * BLOCK_T, BLOCK_T)],
+                kbuf.at[slot], sem_k.at[slot])
+
+        def dma_v(j, slot):
+            return pltpu.make_async_copy(
+                v_ref.at[bi, :, :, pl.ds(j * BLOCK_T, BLOCK_T)],
+                vbuf.at[slot], sem_v.at[slot])
+
+        # warm-up: prefetch block 0 into slot 0
+        dma_k(0, 0).start()
+        dma_v(0, 0).start()
+
         def step(j, carry):
             m, l, acc = carry
-            t0 = j * BLOCK_T
-            ck = pltpu.make_async_copy(
-                k_ref.at[bi, :, :, pl.ds(t0, BLOCK_T)], kbuf, sem_k)
-            cv = pltpu.make_async_copy(
-                v_ref.at[bi, :, :, pl.ds(t0, BLOCK_T)], vbuf, sem_v)
-            ck.start()
-            cv.start()
-            ck.wait()
+            slot = jax.lax.rem(j, 2)
+            next_slot = jax.lax.rem(j + 1, 2)
 
-            k = kbuf[:, :, :].astype(jnp.float32)  # (H, hd, BT)
+            # double buffering: start block j+1 while computing block j
+            @pl.when(j + 1 < n_blocks)
+            def _():
+                dma_k(j + 1, next_slot).start()
+                dma_v(j + 1, next_slot).start()
+
+            dma_k(j, slot).wait()
+            t0 = j * BLOCK_T
+            k = kbuf[slot].astype(jnp.float32)   # (H, hd, BT)
             # VPU multiply-reduce: batched (per-head) GEMV doesn't lower to
             # the MXU in Mosaic, and this kernel is DMA-bound regardless
             scores = jnp.sum(q[:, :, None] * k, axis=1)  # (H, BT)
@@ -63,8 +79,8 @@ def _kernel(pos_ref, q_ref, bias_ref, k_ref, v_ref, o_ref):
             p = jnp.exp(scores - m_new)      # (H, BT)
             l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
-            cv.wait()
-            v = vbuf[:, :, :].astype(jnp.float32)  # (H, hd, BT)
+            dma_v(j, slot).wait()
+            v = vbuf[slot].astype(jnp.float32)   # (H, hd, BT)
             pv = jnp.sum(p[:, None, :] * v, axis=2)  # (H, hd)
             acc_new = acc * alpha + pv
             return m_new, l_new, acc_new
@@ -77,10 +93,10 @@ def _kernel(pos_ref, q_ref, bias_ref, k_ref, v_ref, o_ref):
 
     pl.run_scoped(
         body,
-        kbuf=pltpu.VMEM((h, hd, BLOCK_T), k_ref.dtype),
-        vbuf=pltpu.VMEM((h, hd, BLOCK_T), v_ref.dtype),
-        sem_k=pltpu.SemaphoreType.DMA,
-        sem_v=pltpu.SemaphoreType.DMA,
+        kbuf=pltpu.VMEM((2, h, hd, BLOCK_T), k_ref.dtype),
+        vbuf=pltpu.VMEM((2, h, hd, BLOCK_T), v_ref.dtype),
+        sem_k=pltpu.SemaphoreType.DMA((2,)),
+        sem_v=pltpu.SemaphoreType.DMA((2,)),
     )
 
 

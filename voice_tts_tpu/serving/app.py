@@ -61,10 +61,7 @@ class TTSService:
             if model_dir:
                 engine = TTSEngine.from_artifacts(model_dir)
             elif tiny:
-                import sys
-                sys.path.insert(0, "tests")
-                from test_engine import _tiny_engine
-                engine = _tiny_engine()
+                engine = TTSEngine.tiny()
             else:
                 engine = TTSEngine.random(TTSConfig())
             self.engines.append(engine)
