@@ -14,6 +14,7 @@ Prints ONE JSON line:
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -39,7 +40,8 @@ def build_engine(tiny: bool):
     cfg.engine.use_fp16 = True  # bf16 GPT decode path
     # bounded-read Pallas decode attention: measured neutral at this
     # context length (see STATUS.md); enable for long-context configs
-    cfg.gpt.pallas_decode_attention = False
+    # (PALLAS_ATTN=1 overrides for A/B runs)
+    cfg.gpt.pallas_decode_attention = os.environ.get("PALLAS_ATTN") == "1"
     return TTSEngine.random(cfg, seed=0)
 
 
