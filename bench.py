@@ -42,6 +42,8 @@ def build_engine(tiny: bool):
     # context length (see STATUS.md); enable for long-context configs
     # (PALLAS_ATTN=1 overrides for A/B runs)
     cfg.gpt.pallas_decode_attention = os.environ.get("PALLAS_ATTN") == "1"
+    # int8 weight-only GPT decode (Pallas fused-dequant GEMV)
+    cfg.engine.use_int8_decode = os.environ.get("INT8_DECODE", "1") == "1"
     return TTSEngine.random(cfg, seed=0)
 
 

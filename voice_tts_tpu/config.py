@@ -256,6 +256,9 @@ class EngineConfig:
     code_buckets: Tuple[int, ...] = (256, 512, 1024, 1536)
     prompt_frame_buckets: Tuple[int, ...] = (256, 512, 1024, 1536)
     use_fp16: bool = False  # bf16 on TPU when enabled
+    # int8 weight-only GPT decode (Pallas fused-dequant GEMV); halves the
+    # per-token weight HBM traffic that dominates AR decode
+    use_int8_decode: bool = False
     seed: int = 0
 
 

@@ -127,7 +127,10 @@ class TTSEngine:
         self._gen_cache: Dict[tuple, object] = {}
         # bf16 GPT runtime params for decode + teacher-forced latent
         # (reference runs fp16 autocast on the GPT only, `infer_v2.py:628,695`)
-        if cfg.engine.use_fp16:
+        if cfg.engine.use_int8_decode:
+            from voice_tts_tpu.utils.quantize import quantize_gpt_params
+            self.params_gpt_rt = quantize_gpt_params(params["gpt"])
+        elif cfg.engine.use_fp16:
             self.params_gpt_rt = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16)
                 if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,

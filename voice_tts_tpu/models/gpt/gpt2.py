@@ -42,6 +42,16 @@ class Conv1DGPT(nn.Module):
         if self.is_initializing() or not self.has_variable("params", "scale"):
             return x @ w + b
         scale = self.get_variable("params", "scale")
+        if x.ndim == 3 and x.shape[0] * x.shape[1] <= 32:
+            # decode-sized activations: fused Pallas int8 GEMV (dequant in
+            # VMEM; XLA materializes the convert and loses the byte savings)
+            from voice_tts_tpu.ops.int8_matmul import int8_gemv
+
+            bsz, s, din = x.shape
+            interp = jax.default_backend() != "tpu"
+            y = int8_gemv(x.reshape(bsz * s, din), w,
+                          scale.astype(jnp.float32), interpret=interp)
+            return y.reshape(bsz, s, self.features) + b
         y = jnp.dot(x, w.astype(x.dtype))
         return y * scale.astype(x.dtype) + b
 
