@@ -29,11 +29,25 @@ def quantize_int8(w: np.ndarray, axis: int) -> Tuple[np.ndarray, np.ndarray]:
     return q, scale.astype(np.float32)
 
 
+@jax.jit
+def _quantize_int8_device(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Device-side symmetric per-output-channel int8 (axis=0 reduction).
+
+    Runs on the accelerator: pulling the GPT weights to the host just to
+    round them would move ~2 GB over the (slow) host link.
+    """
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 def quantize_gpt_params(params: Dict[str, Any]) -> Dict[str, Any]:
     """int8-quantize the GPT trunk projections in a (converted) param tree.
 
     Quantized modules get weight -> int8 plus a sibling `scale` param that
     `Conv1DGPT` detects at apply time; every other fp32 leaf becomes bf16.
+    All arithmetic stays on device.
     """
 
     def walk(node, prefix):
@@ -47,11 +61,11 @@ def quantize_gpt_params(params: Dict[str, Any]) -> Dict[str, Any]:
             if (isinstance(val, dict) and "weight" in val
                     and key in _QUANT_MODULES
                     and np.ndim(val["weight"]) == 2):
-                q, scale = quantize_int8(np.asarray(val["weight"]), axis=0)
+                q, scale = _quantize_int8_device(jnp.asarray(val["weight"]))
                 sub = {k2: walk(v2, f"{path}/{k2}") for k2, v2 in val.items()
                        if k2 != "weight"}
-                sub["weight"] = jnp.asarray(q)
-                sub["scale"] = jnp.asarray(scale)
+                sub["weight"] = q
+                sub["scale"] = scale
                 out[key] = sub
             else:
                 out[key] = walk(val, path)
