@@ -44,6 +44,8 @@ def build_engine(tiny: bool):
     cfg.gpt.pallas_decode_attention = os.environ.get("PALLAS_ATTN") == "1"
     # int8 weight-only GPT decode (Pallas fused-dequant GEMV)
     cfg.engine.use_int8_decode = os.environ.get("INT8_DECODE", "1") == "1"
+    # single-Pallas-call trunk megakernel for the batch-1 AR loop
+    cfg.engine.use_fused_decode = os.environ.get("FUSED_DECODE", "1") == "1"
     return TTSEngine.random(cfg, seed=0)
 
 

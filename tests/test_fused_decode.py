@@ -1,0 +1,162 @@
+"""Fused decode-step megakernel: packing + parity vs the XLA decode path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voice_tts_tpu.config import ConformerConfig, GPTConfig, GenerationConfig
+from voice_tts_tpu.models.gpt import UnifiedVoice
+from voice_tts_tpu.models.gpt.decode import decode
+from voice_tts_tpu.ops.fused_decode import (BLOCK_T, apply_kv_update,
+                                            cache_to_time_major,
+                                            fused_decode_step, pack_gpt)
+from voice_tts_tpu.utils.quantize import quantize_gpt_params
+
+CFG = GPTConfig(
+    layers=2, model_dim=256, heads=4, max_text_tokens=32, max_mel_tokens=48,
+    number_text_tokens=40, number_mel_codes=68, start_mel_token=66,
+    stop_mel_token=67, condition_num_latent=4, emo_dim=1024,
+    condition_module=ConformerConfig(
+        input_size=24, output_size=32, attention_heads=2, linear_units=48,
+        num_blocks=1, input_layer="conv2d2", perceiver_mult=2),
+    emo_condition_module=ConformerConfig(
+        input_size=24, output_size=32, attention_heads=2, linear_units=48,
+        num_blocks=1, input_layer="conv2d2", perceiver_mult=2),
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = UnifiedVoice(CFG)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 6, 1024)),
+                        jnp.zeros((1, 6, 1024)),
+                        jnp.zeros((1, 5), dtype=jnp.int32), jnp.asarray([5]),
+                        jnp.zeros((1, 7), dtype=jnp.int32),
+                        jnp.asarray([7]), method=UnifiedVoice.init_all)
+    qparams = quantize_gpt_params(params)
+    pack = pack_gpt(qparams, CFG.layers)
+    return model, qparams, pack
+
+
+def test_pack_shapes_and_contents(setup):
+    model, qparams, pack = setup
+    d, l = CFG.model_dim, CFG.layers
+    assert pack.w.shape == (l, 12, d, d) and pack.w.dtype == jnp.int8
+    assert pack.consts.shape == (l, 28, d)
+
+    h0 = qparams["params"]["gpt"]["h_0"]
+    # qkv column tile 1 == W[:, d:2d]
+    np.testing.assert_array_equal(np.asarray(pack.w[0, 1]),
+                                  np.asarray(h0["attn_c_attn"]["weight"][:, d:2 * d]))
+    # proj tile
+    np.testing.assert_array_equal(np.asarray(pack.w[0, 3]),
+                                  np.asarray(h0["attn_c_proj"]["weight"]))
+    # fc2 row tile 2 == W[2d:3d, :]
+    np.testing.assert_array_equal(np.asarray(pack.w[0, 10]),
+                                  np.asarray(h0["mlp_c_proj"]["weight"][2 * d:3 * d]))
+    # scale row for qkv tile 1 == scale[:, d:2d]
+    np.testing.assert_allclose(np.asarray(pack.consts[0, 1]),
+                               np.asarray(h0["attn_c_attn"]["scale"][0, d:2 * d],
+                                          np.float32), rtol=1e-6)
+    # fc2 partial-tile biases are zero, final tile carries the bias
+    assert float(jnp.abs(pack.consts[0, 20:23]).max()) == 0.0
+    np.testing.assert_allclose(np.asarray(pack.consts[0, 23]),
+                               np.asarray(h0["mlp_c_proj"]["bias"], np.float32),
+                               rtol=1e-6)
+    # LN rows
+    np.testing.assert_allclose(np.asarray(pack.consts[0, 24]),
+                               np.asarray(h0["ln_1"]["weight"], np.float32),
+                               rtol=1e-6)
+
+
+def _prefill(model, params, b=1, bl=8, max_new=8):
+    """Build prompt + prefilled cache exactly like decode() does."""
+    cfg = CFG
+    p = cfg.condition_num_latent + 2 + bl + 2
+    t_max = p + 1 + max_new
+    t_max += (-t_max) % BLOCK_T
+
+    rng = jax.random.PRNGKey(1)
+    cond = jax.random.normal(rng, (b, cfg.condition_num_latent, cfg.model_dim),
+                             jnp.bfloat16)
+    emo = jax.random.normal(jax.random.PRNGKey(2), (b, cfg.model_dim),
+                            jnp.bfloat16)
+    text = jnp.asarray([[3, 5, 7, 2, 9, 4, 0, 0]], dtype=jnp.int32)
+    tlen = jnp.asarray([6])
+
+    prompt, valid_p = model.apply(params, cond, emo, text, tlen,
+                                  method=UnifiedVoice.build_prompt)
+    valid = jnp.concatenate(
+        [valid_p, jnp.ones((b, t_max - p), dtype=bool)], axis=1)
+    hd = cfg.model_dim // cfg.heads
+    cache0 = jnp.zeros((cfg.layers, 2, b, cfg.heads, hd, t_max),
+                       dtype=prompt.dtype)
+    logits0, cache = model.apply(params, prompt, valid_p, cache0,
+                                 method=UnifiedVoice.prefill)
+    return p, t_max, valid, logits0, cache
+
+
+def test_fused_step_matches_xla(setup):
+    """3 sequential greedy steps: fused trunk logits/cache track the XLA
+    path within bf16-accumulation tolerance."""
+    model, qparams, pack = setup
+    p, t_max, valid, logits0, cache = _prefill(model, qparams)
+    bias = jnp.where(valid[0, :, None], 0.0, -1e30).astype(jnp.float32)
+
+    tok_x = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    tok_f = tok_x
+    cache_x = cache
+    cache_f = cache_to_time_major(cache)
+    for step in range(1, 4):
+        step_a = jnp.asarray(step)
+        logits_x, cache_x = model.apply(
+            qparams, tok_x, step_a - 1, p + step_a, valid, cache_x,
+            method=UnifiedVoice.decode_step)
+
+        emb = model.apply(qparams, tok_f, step_a - 1,
+                          method=UnifiedVoice.embed_decode_token)
+        hidden, kv_new = fused_decode_step(emb, pack, cache_f, bias,
+                                           p + step_a, CFG.heads,
+                                           interpret=True)
+        cache_f = apply_kv_update(cache_f, kv_new, p + step_a)
+        logits_f = model.apply(qparams, hidden, method=UnifiedVoice.readout)
+
+        lx = np.asarray(logits_x, np.float32)
+        lf = np.asarray(logits_f, np.float32)
+        np.testing.assert_allclose(lf, lx, rtol=0, atol=0.05 * np.abs(lx).max())
+        # the written kv column matches (time-major vs head-major layouts)
+        cx = np.asarray(cache_x[:, :, 0, :, :, p + step],
+                        np.float32).reshape(CFG.layers, 2, -1)
+        cf = np.asarray(cache_f[:, :, 0, p + step, :],
+                        np.float32).reshape(CFG.layers, 2, -1)
+        np.testing.assert_allclose(cf, cx, rtol=0.05, atol=0.05)
+        # greedy tokens agree -> both paths continue from identical state
+        assert int(jnp.argmax(logits_x, -1)[0]) == int(jnp.argmax(logits_f, -1)[0])
+        tok_x = jnp.argmax(logits_x, axis=-1).astype(jnp.int32)
+        tok_f = jnp.argmax(logits_f, axis=-1).astype(jnp.int32)
+
+
+def test_fused_full_decode_greedy(setup):
+    """Full decode() with fused_pack produces the same greedy codes as the
+    XLA int8 path (tiny model, short horizon)."""
+    model, qparams, pack = setup
+    gen = GenerationConfig(do_sample=False, num_beams=1,
+                           repetition_penalty=10.0)
+    cond = jax.random.normal(jax.random.PRNGKey(1),
+                             (1, CFG.condition_num_latent, CFG.model_dim),
+                             jnp.bfloat16)
+    emo = jax.random.normal(jax.random.PRNGKey(2), (1, CFG.model_dim),
+                            jnp.bfloat16)
+    text = jnp.asarray([[3, 5, 7, 2, 9, 4, 0, 0]], dtype=jnp.int32)
+    tlen = jnp.asarray([6])
+    rng = jax.random.PRNGKey(3)
+
+    res_x = decode(qparams, model, gen, cond, emo, text, tlen, rng, 12)
+    res_f = decode(qparams, model, gen, cond, emo, text, tlen, rng, 12,
+                   fused_pack=pack)
+    assert res_f.codes.shape == res_x.codes.shape
+    np.testing.assert_array_equal(np.asarray(res_f.codes),
+                                  np.asarray(res_x.codes))
+    np.testing.assert_array_equal(np.asarray(res_f.lengths),
+                                  np.asarray(res_x.lengths))

@@ -259,6 +259,9 @@ class EngineConfig:
     # int8 weight-only GPT decode (Pallas fused-dequant GEMV); halves the
     # per-token weight HBM traffic that dominates AR decode
     use_int8_decode: bool = False
+    # single-Pallas-call trunk megakernel for batch-1 AR decode (requires
+    # use_int8_decode; see ops/fused_decode.py)
+    use_fused_decode: bool = False
     seed: int = 0
 
 

@@ -127,9 +127,13 @@ class TTSEngine:
         self._gen_cache: Dict[tuple, object] = {}
         # bf16 GPT runtime params for decode + teacher-forced latent
         # (reference runs fp16 autocast on the GPT only, `infer_v2.py:628,695`)
+        self.fused_pack = None
         if cfg.engine.use_int8_decode:
             from voice_tts_tpu.utils.quantize import quantize_gpt_params
             self.params_gpt_rt = quantize_gpt_params(params["gpt"])
+            if cfg.engine.use_fused_decode:
+                from voice_tts_tpu.ops.fused_decode import pack_gpt
+                self.fused_pack = pack_gpt(self.params_gpt_rt, cfg.gpt.layers)
         elif cfg.engine.use_fp16:
             self.params_gpt_rt = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16)
@@ -678,11 +682,15 @@ class TTSEngine:
         cond = padded_cat([j["spk"]["cond_latents"] for j in jobs])
         emo = padded_cat([j["emovec"] for j in jobs])
         self._rng, sub = jax.random.split(self._rng)
-        decode_fn = (gpt_decode if gen.num_beams <= 1 or len(jobs) > 1
-                     else beam_decode)
-        res = decode_fn(self.params_gpt_rt, self.gpt, gen, cond, emo,
-                        jnp.asarray(text), jnp.asarray(lens), sub,
-                        max_new=gen.max_mel_tokens)
+        if gen.num_beams <= 1 or len(jobs) > 1:
+            res = gpt_decode(self.params_gpt_rt, self.gpt, gen, cond, emo,
+                             jnp.asarray(text), jnp.asarray(lens), sub,
+                             max_new=gen.max_mel_tokens,
+                             fused_pack=self.fused_pack)
+        else:
+            res = beam_decode(self.params_gpt_rt, self.gpt, gen, cond, emo,
+                              jnp.asarray(text), jnp.asarray(lens), sub,
+                              max_new=gen.max_mel_tokens)
         codes_np = np.asarray(res.codes)
         lengths_np = np.asarray(res.lengths)
         hit = np.asarray(res.hit_limit)
@@ -763,11 +771,17 @@ class TTSEngine:
         # --- GPT AR decode (beam path when num_beams > 1, reference default 3)
         t0 = time.perf_counter()
         self._rng, sub = jax.random.split(self._rng)
-        decode_fn = gpt_decode if gen.num_beams <= 1 else beam_decode
-        res = decode_fn(self.params_gpt_rt, self.gpt, gen,
-                        spk["cond_latents"], emovec, jnp.asarray(text),
-                        jnp.asarray([min(text_len, bucket)]), sub,
-                        max_new=gen.max_mel_tokens)
+        if gen.num_beams <= 1:
+            res = gpt_decode(self.params_gpt_rt, self.gpt, gen,
+                             spk["cond_latents"], emovec, jnp.asarray(text),
+                             jnp.asarray([min(text_len, bucket)]), sub,
+                             max_new=gen.max_mel_tokens,
+                             fused_pack=self.fused_pack)
+        else:
+            res = beam_decode(self.params_gpt_rt, self.gpt, gen,
+                              spk["cond_latents"], emovec, jnp.asarray(text),
+                              jnp.asarray([min(text_len, bucket)]), sub,
+                              max_new=gen.max_mel_tokens)
         codes_np = np.asarray(res.codes)
         lengths_np = np.asarray(res.lengths)
         hit_limit = np.asarray(res.hit_limit)

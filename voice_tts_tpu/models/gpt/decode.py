@@ -22,6 +22,10 @@ import jax.numpy as jnp
 
 from voice_tts_tpu.config import GPTConfig, GenerationConfig
 from voice_tts_tpu.models.gpt.unified_voice import UnifiedVoice
+from voice_tts_tpu.ops.fused_decode import (FusedDecodePack, apply_kv_update,
+                                            cache_to_time_major,
+                                            fused_decode_step,
+                                            BLOCK_T as FUSED_BLOCK_T)
 
 
 class DecodeResult(NamedTuple):
@@ -140,19 +144,26 @@ class _LoopState(NamedTuple):
 def decode(params, model: UnifiedVoice, gen: GenerationConfig,
            cond_latents: jnp.ndarray, emo_vec: jnp.ndarray,
            text_tokens: jnp.ndarray, text_lengths: jnp.ndarray,
-           rng: jax.Array, max_new: int) -> DecodeResult:
+           rng: jax.Array, max_new: int,
+           fused_pack: Optional[FusedDecodePack] = None) -> DecodeResult:
     """Greedy/sampling AR decode (num_beams=1 path).
 
     text_tokens (B, bucket_len) right-padded; returns up to `max_new` codes.
     Compute dtype follows the parameters (pass a bf16-cast tree for bf16
-    decode; logits/sampling stay fp32).
+    decode; logits/sampling stay fp32).  When `fused_pack` is given (int8
+    tiles from `ops.fused_decode.pack_gpt`) and batch == 1, each step runs
+    the single-Pallas-call trunk megakernel instead of the XLA stack.
     """
     cfg: GPTConfig = model.cfg
     b, bl = text_tokens.shape
+    use_fused = (fused_pack is not None and b == 1
+                 and not cfg.pallas_decode_attention)
     p = cfg.condition_num_latent + 2 + bl + 2  # conds(34) + start/text/stop
     t_max = p + 1 + max_new
     if cfg.pallas_decode_attention:
         t_max += (-t_max) % 512  # kernel block granularity
+    elif use_fused:
+        t_max += (-t_max) % FUSED_BLOCK_T
     vocab = cfg.number_mel_codes
 
     param_dtype = jax.tree.leaves(params)[0].dtype
@@ -189,10 +200,25 @@ def decode(params, model: UnifiedVoice, gen: GenerationConfig,
     def cond_fn(s: _LoopState):
         return (s.step < max_new) & ~jnp.all(s.finished)
 
+    if use_fused:
+        # (Tmax, 1) additive mask over cache positions (batch == 1)
+        attn_bias = jnp.where(valid[0, :, None], 0.0, -1e30).astype(jnp.float32)
+        cache = cache_to_time_major(cache)
+        interp = jax.default_backend() != "tpu"
+
     def body_fn(s: _LoopState):
-        logits, cache = model.apply(
-            params, s.token, s.step - 1, p + s.step, valid, s.cache,
-            method=UnifiedVoice.decode_step)
+        if use_fused:
+            emb = model.apply(params, s.token, s.step - 1,
+                              method=UnifiedVoice.embed_decode_token)
+            hidden, kv_new = fused_decode_step(
+                emb, fused_pack, s.cache, attn_bias, p + s.step, cfg.heads,
+                interpret=interp)
+            cache = apply_kv_update(s.cache, kv_new, p + s.step)
+            logits = model.apply(params, hidden, method=UnifiedVoice.readout)
+        else:
+            logits, cache = model.apply(
+                params, s.token, s.step - 1, p + s.step, valid, s.cache,
+                method=UnifiedVoice.decode_step)
         token, rng = sample_from(logits, s.presence, s.rng)
         token = jnp.where(s.finished, cfg.stop_mel_token, token)
         presence = s.presence.at[jnp.arange(b), token].set(True)

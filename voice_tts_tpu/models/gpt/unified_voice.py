@@ -205,6 +205,18 @@ class UnifiedVoice(nn.Module):
         logits = self.mel_head(self.final_norm(hidden[:, -1]).astype(jnp.float32))
         return logits, cache
 
+    def embed_decode_token(self, token: jnp.ndarray,
+                           step: jnp.ndarray) -> jnp.ndarray:
+        """Token embedding for one AR step: (B,) -> (B, D) (mel position
+        step+1, matching `decode_step`)."""
+        emb = (self.mel_embedding(token[:, None])
+               + self.mel_pos_embedding(step[None, None] + 1))
+        return emb[:, 0]
+
+    def readout(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        """final_norm + mel_head on a (B, D) hidden state -> (B, vocab)."""
+        return self.mel_head(self.final_norm(hidden).astype(jnp.float32))
+
     def decode_step(self, token: jnp.ndarray, step: jnp.ndarray,
                     cache_index: jnp.ndarray, valid: jnp.ndarray,
                     kv_cache: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

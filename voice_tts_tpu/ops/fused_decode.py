@@ -1,0 +1,352 @@
+"""Fused GPT decode-step megakernel: the whole 24-layer trunk in ONE Pallas call.
+
+Motivation (measured on v5e, see STATUS.md): with int8 weights the per-token
+weight DMA is ~0.55 ms but a decode step costs ~1.8 ms — the rest is the
+~200 small XLA kernels a 24-layer step lowers to (LayerNorms, reshapes,
+cache updates, attention pieces), each a few microseconds of launch/fusion
+overhead.  This kernel replaces all of them with a single `pallas_call`
+whose grid streams uniform (D, D) int8 weight tiles through VMEM:
+
+    grid = (layers, 12)  — 12 tiles/layer: 3 qkv + 1 attn-proj + 4 mlp-fc
+                           + 4 mlp-fc2 (GPT-2 ratios 3D / D / 4D / 4D are
+                           fixed, so the tiling is universal)
+
+Per grid step Pallas double-buffers the next 1.6 MB int8 tile while the MXU
+consumes the current one, so decode runs at the weight-DMA floor.  All
+per-layer scalars (12 dequant scales, 12 biases, 4 LN rows) ride in ONE
+(28, D) f32 block fetched once per layer — per-grid-step DMA bookkeeping is
+just the weight tile.  The residual stream lives in VMEM scratch across the
+whole trunk (grid steps on TPU execute sequentially on one core).
+Attention (stage t==3) reads only the live [0, pos) prefix of the KV cache
+via manually double-buffered DMA (same scheme as `ops/decode_attention.py`)
+and handles the current token's k/v in-register.
+
+Layout notes (Mosaic constraints): everything stays in flat (.., D) vectors —
+no (H, hd) reshapes, which Mosaic cannot shape-cast.  The fused path uses a
+time-major cache (L, 2, B, Tmax, D) so block reads are contiguous (BT, D)
+tiles; per-head score/context reductions run on the MXU against a constant
+0/1 head-grouping matrix (D, H) — lane-group reductions as tiny matmuls
+instead of reshapes.  Single-position cache writes can't DMA from inside the
+kernel (sublane slices must be 8-aligned), so the kernel RETURNS the new k/v
+rows (L, 2, D) and the caller does one XLA `dynamic_update_slice` — in-place
+on the loop-carried cache buffer.
+
+Replaces the role DeepSpeed kernel injection plays in the reference
+(`indextts/gpt/model_v2.py:433-446`): a fused transformer decode step.
+
+Restriction: batch == 1 (the single-request latency path; batched serving
+keeps the XLA path, where weight reads amortize across the batch anyway).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_T = 256          # KV-cache read granularity (time positions)
+TILES_PER_LAYER = 12   # 3 (qkv) + 1 (proj) + 4 (fc) + 4 (fc2)
+
+
+class FusedDecodePack(NamedTuple):
+    """Device-resident packed weights for the megakernel (see `pack_gpt`)."""
+
+    w: jnp.ndarray        # (L, 12, D, D) int8
+    consts: jnp.ndarray   # (L, 28, D) f32: rows 0-11 dequant scales,
+    #                       12-23 biases, 24-27 [ln1.w, ln1.b, ln2.w, ln2.b]
+
+
+@functools.partial(jax.jit, static_argnames=("layers",))
+def pack_gpt(params: Dict[str, Any], layers: int) -> FusedDecodePack:
+    """Pack an int8-quantized GPT param tree (`utils.quantize`) into uniform
+    (D, D) tiles, stacked (L, 12, D, D).  Runs on device — never pulls the
+    ~0.5 GB trunk over the host link."""
+    g = params["params"]["gpt"]
+    ws, cs = [], []
+    for i in range(layers):
+        h = g[f"h_{i}"]
+        d = h["attn_c_attn"]["weight"].shape[0]
+
+        def col_tiles(m, n):  # (D, n*D) -> (n, D, D) by output columns
+            return jnp.transpose(m.reshape(d, n, d), (1, 0, 2))
+
+        qkv, proj = h["attn_c_attn"], h["attn_c_proj"]
+        fc, fc2 = h["mlp_c_fc"], h["mlp_c_proj"]
+        ws.append(jnp.concatenate([
+            col_tiles(qkv["weight"], 3),
+            proj["weight"][None],
+            col_tiles(fc["weight"], 4),
+            fc2["weight"].reshape(4, d, d),          # row tiles (contraction)
+        ]))
+
+        def rows(v, n):  # (1, n*D) or (n*D,) -> (n, D) f32
+            return v.reshape(n, d).astype(jnp.float32)
+
+        scales = jnp.concatenate([
+            rows(qkv["scale"], 3), rows(proj["scale"], 1),
+            rows(fc["scale"], 4),
+            jnp.broadcast_to(fc2["scale"].reshape(1, d).astype(jnp.float32),
+                             (4, d)),                # shared across row tiles
+        ])
+        biases = jnp.concatenate([
+            rows(qkv["bias"], 3), rows(proj["bias"], 1),
+            rows(fc["bias"], 4),
+            jnp.zeros((3, d), jnp.float32),          # partials: bias once,
+            rows(fc2["bias"], 1),                    # on the last tile
+        ])
+        lns = jnp.stack([
+            h["ln_1"]["weight"], h["ln_1"]["bias"],
+            h["ln_2"]["weight"], h["ln_2"]["bias"]]).astype(jnp.float32)
+        cs.append(jnp.concatenate([scales, biases, lns]))
+    return FusedDecodePack(jnp.stack(ws), jnp.stack(cs))
+
+
+def cache_to_time_major(kv_cache: jnp.ndarray) -> jnp.ndarray:
+    """(L, 2, B, H, hd, T) [XLA decode layout] -> (L, 2, B, T, H*hd)."""
+    l, _, b, h, hd, t = kv_cache.shape
+    return jnp.transpose(kv_cache, (0, 1, 2, 5, 3, 4)).reshape(
+        l, 2, b, t, h * hd)
+
+
+def _ln(x, w, b, eps=1e-5):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * w + b
+
+
+def _kernel(pos_ref, x_ref, w_ref, c_ref, bias_ref, hmask_ref,
+            hmask_t_ref, cache_ref, y_ref, kv_ref, x_s, ln_s, q_s, k_s,
+            v_s, h_s, acc_s, kbuf, vbuf, sem_k, sem_v, *, heads, skip_attn):
+    layer = pl.program_id(0)
+    t = pl.program_id(1)
+    n_layers = pl.num_programs(0)
+    d = x_ref.shape[1]
+    hd = d // heads
+    pos = pos_ref[0]
+
+    def dot_tile(src=None):
+        """(1, D) @ current int8 tile, dequant + bias in-register -> f32."""
+        src = ln_s[...] if src is None else src
+        y = jnp.dot(src.astype(jnp.bfloat16),
+                    w_ref[0, 0].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        return y * c_ref[0, pl.ds(t, 1)] + c_ref[0, pl.ds(t + 12, 1)]
+
+    # ---- stage 0: load residual (first layer), LN1, q ----------------------
+    @pl.when(t == 0)
+    def _():
+        @pl.when(layer == 0)
+        def _():
+            x_s[...] = x_ref[...].astype(jnp.float32)
+        ln_s[...] = _ln(x_s[...], c_ref[0, 24:25], c_ref[0, 25:26])
+        if not skip_attn:
+            # prefetch KV block 0 for this layer's attention (stage 3)
+            pltpu.make_async_copy(
+                cache_ref.at[layer, 0, 0, pl.ds(0, BLOCK_T), :],
+                kbuf.at[0], sem_k.at[0]).start()
+            pltpu.make_async_copy(
+                cache_ref.at[layer, 1, 0, pl.ds(0, BLOCK_T), :],
+                vbuf.at[0], sem_v.at[0]).start()
+        q_s[...] = dot_tile()
+
+    # ---- stages 1, 2: k, v (returned to the caller for the cache update) ---
+    @pl.when(t == 1)
+    def _():
+        k = dot_tile()
+        k_s[...] = k
+        kv_ref[0, 0] = k[0].astype(kv_ref.dtype)
+
+    @pl.when(t == 2)
+    def _():
+        v = dot_tile()
+        v_s[...] = v
+        kv_ref[0, 1] = v[0].astype(kv_ref.dtype)
+
+    # ---- stage 3: attention over [0, pos) + current token, then proj -------
+    @pl.when(t == 3)
+    def _():
+        if skip_attn:
+            ln_s[...] = v_s[...] * 1e-3   # debug: stand-in for attention
+            x_s[...] = x_s[...] + dot_tile()
+            return
+        hmask = hmask_ref[...]        # (D, H) 0/1: lane -> head grouping
+        hmask_t = hmask_t_ref[...]    # (H, D)
+        q = q_s[...] * (hd ** -0.5)   # (1, D) f32
+        n_blocks = pl.cdiv(pos, BLOCK_T)
+
+        def dma_k(j, slot):
+            return pltpu.make_async_copy(
+                cache_ref.at[layer, 0, 0, pl.ds(j * BLOCK_T, BLOCK_T), :],
+                kbuf.at[slot], sem_k.at[slot])
+
+        def dma_v(j, slot):
+            return pltpu.make_async_copy(
+                cache_ref.at[layer, 1, 0, pl.ds(j * BLOCK_T, BLOCK_T), :],
+                vbuf.at[slot], sem_v.at[slot])
+
+        def head_sum(x):    # (N, D) -> (N, H): reduce lanes within each head
+            return jnp.dot(x, hmask, preferred_element_type=jnp.float32)
+
+        def head_bcast(x):  # (N, H) -> (N, D): repeat per-head scalars
+            return jnp.dot(x, hmask_t, preferred_element_type=jnp.float32)
+
+        def step(j, carry):
+            m, l, acc = carry
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < n_blocks)
+            def _():
+                nxt = jax.lax.rem(j + 1, 2)
+                dma_k(j + 1, nxt).start()
+                dma_v(j + 1, nxt).start()
+
+            dma_k(j, slot).wait()
+            t0 = j * BLOCK_T
+            k = kbuf[slot].astype(jnp.float32)            # (BT, D)
+            scores = head_sum(q * k)                      # (BT, H)
+            scores = scores + bias_ref[pl.ds(t0, BLOCK_T), :]
+            row = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_T, heads), 0) + t0
+            scores = jnp.where(row < pos, scores, -jnp.inf)
+
+            m_new = jnp.maximum(m, jnp.max(scores, axis=0, keepdims=True))
+            alpha = jnp.exp(m - m_new)                    # (1, H)
+            p = jnp.exp(scores - m_new)                   # (BT, H)
+            l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+
+            dma_v(j, slot).wait()
+            v = vbuf[slot].astype(jnp.float32)            # (BT, D)
+            pv = jnp.sum(head_bcast(p) * v, axis=0, keepdims=True)  # (1, D)
+            acc_new = acc * head_bcast(alpha) + pv
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((1, heads), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((1, heads), jnp.float32)
+        a0 = jnp.zeros((1, d), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n_blocks, step, (m0, l0, a0))
+
+        # current token (always attendable; its k/v live in VMEM)
+        s_cur = head_sum(q * k_s[...])                    # (1, H)
+        m_f = jnp.maximum(m, s_cur)
+        alpha = jnp.exp(m - m_f)
+        p_cur = jnp.exp(s_cur - m_f)
+        l_f = l * alpha + p_cur
+        ctx = (acc * head_bcast(alpha) + head_bcast(p_cur) * v_s[...])
+        ctx = ctx / head_bcast(l_f)                       # (1, D)
+
+        ln_s[...] = ctx                 # reuse ln_s as the proj input
+        x_s[...] = x_s[...] + dot_tile()
+
+    # ---- stages 4..7: MLP up-projection tiles -------------------------------
+    @pl.when(t == 4)
+    def _():
+        ln_s[...] = _ln(x_s[...], c_ref[0, 26:27], c_ref[0, 27:28])
+
+    for j in range(4):
+        @pl.when(t == 4 + j)
+        def _(j=j):
+            h_s[j:j + 1] = jax.nn.gelu(dot_tile(), approximate=True)
+
+    # ---- stages 8..11: MLP down-projection (accumulate over row tiles) -----
+    for j in range(4):
+        @pl.when(t == 8 + j)
+        def _(j=j):
+            part = dot_tile(src=h_s[j:j + 1])
+            if j == 0:
+                acc_s[...] = part
+            else:
+                acc_s[...] = acc_s[...] + part
+
+    @pl.when(t == 11)
+    def _():
+        x_s[...] = x_s[...] + acc_s[...]
+
+        @pl.when(layer == n_layers - 1)
+        def _():
+            y_ref[...] = x_s[...]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "interpret", "skip_attn"))
+def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
+                      kv_cache: jnp.ndarray, bias: jnp.ndarray,
+                      pos: jnp.ndarray, heads: int,
+                      interpret: bool = False, skip_attn: bool = False):
+    """One full trunk step.  x (1, D) token embedding; kv_cache TIME-MAJOR
+    (L, 2, 1, Tmax, D) (see `cache_to_time_major`) with Tmax % BLOCK_T == 0;
+    bias (Tmax, 1) f32 additive mask over cache positions; pos scalar — the
+    index of the current token (positions [0, pos) are live history).
+
+    Returns (hidden (1, D) f32 pre-ln_f, kv_new (L, 2, D)).  The caller must
+    write kv_new into the cache at [.., pos, :] (one dynamic_update_slice).
+    `skip_attn` replaces attention with a stub — perf-debug only.
+    """
+    l, _, b, t_max, d = kv_cache.shape
+    assert b == 1 and d % heads == 0 and x.shape == (1, d)
+    assert t_max % BLOCK_T == 0, "cache length must be a multiple of BLOCK_T"
+    assert bias.shape == (t_max, 1)
+
+    hmask = (jnp.arange(d)[:, None] // (d // heads)
+             == jnp.arange(heads)[None, :]).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(l, TILES_PER_LAYER),
+        in_specs=[
+            pl.BlockSpec((1, d), lambda i, t, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d, d), lambda i, t, s: (i, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 28, d), lambda i, t, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_max, 1), lambda i, t, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, heads), lambda i, t, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, d), lambda i, t, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),        # kv cache (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, d), lambda i, t, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, d), lambda i, t, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),    # per-layer new k/v
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, d), jnp.float32),          # x_s residual
+            pltpu.VMEM((1, d), jnp.float32),          # ln_s
+            pltpu.VMEM((1, d), jnp.float32),          # q_s
+            pltpu.VMEM((1, d), jnp.float32),          # k_s
+            pltpu.VMEM((1, d), jnp.float32),          # v_s
+            pltpu.VMEM((4, d), jnp.float32),          # h_s mlp activations
+            pltpu.VMEM((1, d), jnp.float32),          # acc_s
+            pltpu.VMEM((2, BLOCK_T, d), kv_cache.dtype),  # kbuf
+            pltpu.VMEM((2, BLOCK_T, d), kv_cache.dtype),  # vbuf
+            pltpu.SemaphoreType.DMA((2,)),            # sem_k
+            pltpu.SemaphoreType.DMA((2,)),            # sem_v
+        ],
+    )
+    kernel = functools.partial(_kernel, heads=heads, skip_attn=skip_attn)
+    y, kv_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((l, 2, d), kv_cache.dtype),
+        ],
+        interpret=interpret,
+    )(jnp.asarray([pos], jnp.int32), x.astype(jnp.float32),
+      pack.w, pack.consts, bias, hmask, jnp.transpose(hmask), kv_cache)
+    return y, kv_new
+
+
+def apply_kv_update(kv_cache: jnp.ndarray, kv_new: jnp.ndarray,
+                    pos: jnp.ndarray) -> jnp.ndarray:
+    """Write kv_new (L, 2, D) into the time-major cache at position pos."""
+    return jax.lax.dynamic_update_slice(
+        kv_cache, kv_new[:, :, None, None, :].astype(kv_cache.dtype),
+        (0, 0, 0, pos, 0))
