@@ -310,3 +310,37 @@ def test_beam_sampling_runs():
     codes = np.asarray(res.codes)
     assert codes.shape == (1, 12)
     assert codes.min() >= 0 and codes.max() < cfg.number_mel_codes
+
+
+def test_beam_batch_matches_single():
+    """vmapped batched beam == per-request beam_decode, row by row
+    (deterministic beams so the rng path doesn't enter)."""
+    from voice_tts_tpu.models.gpt.beam import beam_decode, beam_decode_batch
+
+    cfg = TINY
+    model = UnifiedVoice(cfg)
+    rng = np.random.default_rng(7)
+    b, tl = 3, 7
+    text = rng.integers(2, 30, size=(b, tl)).astype(np.int32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 6, 1024)),
+                        jnp.zeros((1, 6, 1024)), jnp.asarray(text[:1]),
+                        jnp.asarray([tl]), jnp.zeros((1, 5), dtype=jnp.int32),
+                        jnp.asarray([5]), method=UnifiedVoice.init_all)
+    cond = jnp.asarray(rng.normal(size=(b, 4, cfg.model_dim)).astype(np.float32) * 0.1)
+    emovec = jnp.asarray(rng.normal(size=(b, cfg.model_dim)).astype(np.float32) * 0.1)
+    lens = jnp.asarray([tl, tl - 2, tl - 1], dtype=jnp.int32)
+    gen = GenerationConfig(do_sample=False, num_beams=3,
+                           repetition_penalty=10.0, length_penalty=0.0)
+
+    batched = beam_decode_batch(params, model, gen, cond, emovec,
+                                jnp.asarray(text), lens, jax.random.PRNGKey(1),
+                                max_new=10)
+    for i in range(b):
+        single = beam_decode(params, model, gen, cond[i:i + 1],
+                             emovec[i:i + 1], jnp.asarray(text[i:i + 1]),
+                             lens[i:i + 1], jax.random.PRNGKey(9),
+                             max_new=10)
+        np.testing.assert_array_equal(np.asarray(batched.codes[i]),
+                                      np.asarray(single.codes[0]))
+        assert int(batched.lengths[i]) == int(single.lengths[0])
+        assert bool(batched.hit_limit[i]) == bool(single.hit_limit[0])

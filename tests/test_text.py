@@ -113,6 +113,32 @@ def test_normalizer_reference_cases():
     assert n.normalize("2002年的第一场雪") == "二零零二年的第一场雪"
 
 
+def test_normalizer_ranges_units_temps():
+    n = TextNormalizer()
+    n.load()
+    assert n.normalize("气温-5°C左右") == "气温零下五摄氏度左右"
+    assert n.normalize("今天36.5℃") == "今天三十六点五摄氏度"
+    assert n.normalize("需要3-5个工作日") == "需要三到五个工作日"
+    assert n.normalize("增长10%~20%") == "增长百分之十到百分之二十"
+    assert n.normalize("增长10~20%") == "增长百分之十到百分之二十"
+    assert n.normalize("跑了5km") == "跑了五千米"
+    assert n.normalize("体重60.5kg") == "体重六十点五千克"
+    assert n.normalize("面积120m²") == "面积一百二十平方米"
+    assert n.normalize("2010-2020年间") == "二零一零到二零二零年间"
+    assert n.normalize("3/4的人") == "四分之三的人"
+    assert "幺三五幺二三四五六七八" in n.normalize("电话13512345678")
+
+
+def test_normalizer_en_ordinals():
+    n = TextNormalizer()
+    n.load()
+    assert n.normalize("the 1st and 23rd of May") == "the first and twenty-third of May"
+    assert n.normalize("he finished 2nd") == "he finished second"
+    assert n.normalize("the 20th century") == "the twentieth century"
+    assert n.normalize("the 12th day") == "the twelfth day"
+    assert n.normalize("the 100th time") == "the one hundredth time"
+
+
 def test_native_tn_matches_python():
     """C++ TN core == the Python reference rules over a number sweep."""
     import pytest as _pytest

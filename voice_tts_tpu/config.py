@@ -262,6 +262,10 @@ class EngineConfig:
     # single-Pallas-call trunk megakernel for batch-1 AR decode (requires
     # use_int8_decode; see ops/fused_decode.py)
     use_fused_decode: bool = False
+    # run teacher-forced latent + s2mel + vocoder as ONE jitted graph with a
+    # single host sync (each extra sync costs a round trip on remote-attached
+    # chips); per-stage timers require fuse_synthesis=False
+    fuse_synthesis: bool = True
     seed: int = 0
 
 

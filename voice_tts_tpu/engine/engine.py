@@ -36,7 +36,7 @@ from voice_tts_tpu.logging import logger
 from voice_tts_tpu.models.conditioning import CAMPPlus, RepCodec, Wav2Vec2Bert
 from voice_tts_tpu.models.conditioning.repcodec import repcodec_vq2emb
 from voice_tts_tpu.models.gpt import UnifiedVoice
-from voice_tts_tpu.models.gpt.beam import beam_decode
+from voice_tts_tpu.models.gpt.beam import beam_decode, beam_decode_batch
 from voice_tts_tpu.models.gpt.decode import decode as gpt_decode
 from voice_tts_tpu.models.s2mel import S2Mel
 from voice_tts_tpu.models.s2mel.cfm import cfm_inference
@@ -309,10 +309,9 @@ class TTSEngine:
 
         self._gpt_emovec = gpt_emovec
 
-        @partial(jax.jit, static_argnames=("code_bucket", "mel_bucket"))
-        def s2mel_chain(s2_params, rep_params, latent, codes, code_len,
-                        prompt_condition, prompt_len, ref_mel, style, rng,
-                        code_bucket, mel_bucket):
+        def s2mel_body(s2_params, rep_params, latent, codes, code_len,
+                       prompt_condition, prompt_len, ref_mel, style, rng,
+                       mel_bucket):
             latent2 = self.s2mel.apply(s2_params, latent, method=S2Mel.gpt_layer)
             s_infer = repcodec_vq2emb(rep_params, codes) + latent2
             target_len = jnp.floor(code_len.astype(jnp.float32)
@@ -334,10 +333,17 @@ class TTSEngine:
                                 cfg.engine.inference_cfg_rate)
             return slice_generated(mel, prompt_len, mel_bucket), target_len
 
+        @partial(jax.jit, static_argnames=("code_bucket", "mel_bucket"))
+        def s2mel_chain(s2_params, rep_params, latent, codes, code_len,
+                        prompt_condition, prompt_len, ref_mel, style, rng,
+                        code_bucket, mel_bucket):
+            return s2mel_body(s2_params, rep_params, latent, codes, code_len,
+                              prompt_condition, prompt_len, ref_mel, style,
+                              rng, mel_bucket)
+
         self._s2mel_chain = s2mel_chain
 
-        @jax.jit
-        def vocode(voc_params, mel):
+        def vocode_body(voc_params, mel):
             wav = self.vocoder.apply(voc_params, mel)
             wav = jnp.clip(wav * 32767.0, -32767.0, 32767.0).astype(jnp.int16)
             # (B, frames, hop): both minor dims are tile-aligned, so the
@@ -346,7 +352,7 @@ class TTSEngine:
             b = wav.shape[0]
             return wav.reshape(b, -1, cfg.mel.hop_size)
 
-        self._vocode = vocode
+        self._vocode = jax.jit(vocode_body)
 
         @partial(jax.jit, static_argnames=())
         def gpt_latent(gpt_params, cond, emovec, text, text_len, codes, code_len):
@@ -354,6 +360,42 @@ class TTSEngine:
                                   codes, code_len)
 
         self._gpt_latent = gpt_latent
+
+        @jax.jit
+        def pack_decode(res):
+            # codes + lengths + hit_limit in ONE int32 array: a single host
+            # readback instead of three (each sync costs a full round trip
+            # on a remote-attached chip)
+            return jnp.concatenate(
+                [res.codes, res.lengths[:, None],
+                 res.hit_limit[:, None].astype(jnp.int32)], axis=1)
+
+        self._pack_decode = pack_decode
+
+        @partial(jax.jit, static_argnames=("code_bucket", "mel_bucket"))
+        def synth_chain(gpt_params, s2_params, rep_params, voc_params,
+                        cond, emovec, text, text_len, codes, code_len,
+                        prompt_condition, prompt_len, ref_mel, style, rng,
+                        code_bucket, mel_bucket):
+            """Post-decode synthesis as ONE graph: teacher-forced GPT latent ->
+            s2mel (regulator + 25-step CFM) -> BigVGAN -> int16 wav.  A single
+            dispatch + a single host transfer — each extra host sync costs a
+            full round trip on a remote-attached chip, and XLA can fuse across
+            the former stage boundaries (latent -> gpt_layer, mel -> conv_pre).
+            """
+            latent = self.gpt.apply(gpt_params, cond, emovec, text, text_len,
+                                    codes, code_len)
+            mel, target_len = s2mel_body(
+                s2_params, rep_params, latent, codes, code_len,
+                prompt_condition, prompt_len, ref_mel, style, rng, mel_bucket)
+            return vocode_body(voc_params, mel), target_len
+
+        self._synth_chain = synth_chain
+
+    def _fetch_decode(self, res):
+        """One-transfer fetch of a DecodeResult -> (codes, lengths, hit)."""
+        packed = np.asarray(self._pack_decode(res))
+        return packed[:, :-2], packed[:, -2], packed[:, -1].astype(bool)
 
     # ------------------------------------------------------------------
     # prompt handling
@@ -576,9 +618,14 @@ class TTSEngine:
                    "audio_length": wav_len,
                    "rtf": total / wav_len if wav_len > 0 else 0.0}
         logger.info("gpt_gen_time: %.2f s", timers["gpt_gen_time"])
-        logger.info("gpt_forward_time: %.2f s", timers["gpt_forward_time"])
-        logger.info("s2mel_time: %.2f s", timers["s2mel_time"])
-        logger.info("bigvgan_time: %.2f s", timers["bigvgan_time"])
+        if "synthesis_time" in timers:
+            logger.info("synthesis_time: %.2f s (latent+s2mel+vocoder fused; "
+                        "set fuse_synthesis=False for the per-stage split)",
+                        timers["synthesis_time"])
+        else:
+            logger.info("gpt_forward_time: %.2f s", timers["gpt_forward_time"])
+            logger.info("s2mel_time: %.2f s", timers["s2mel_time"])
+            logger.info("bigvgan_time: %.2f s", timers["bigvgan_time"])
         logger.info("RTF: %.4f", metrics["rtf"])
 
         wav_i16 = full.astype(np.int16)
@@ -682,18 +729,20 @@ class TTSEngine:
         cond = padded_cat([j["spk"]["cond_latents"] for j in jobs])
         emo = padded_cat([j["emovec"] for j in jobs])
         self._rng, sub = jax.random.split(self._rng)
-        if gen.num_beams <= 1 or len(jobs) > 1:
+        if gen.num_beams <= 1:
             res = gpt_decode(self.params_gpt_rt, self.gpt, gen, cond, emo,
                              jnp.asarray(text), jnp.asarray(lens), sub,
                              max_new=gen.max_mel_tokens,
                              fused_pack=self.fused_pack)
-        else:
+        elif len(jobs) == 1:
             res = beam_decode(self.params_gpt_rt, self.gpt, gen, cond, emo,
                               jnp.asarray(text), jnp.asarray(lens), sub,
                               max_new=gen.max_mel_tokens)
-        codes_np = np.asarray(res.codes)
-        lengths_np = np.asarray(res.lengths)
-        hit = np.asarray(res.hit_limit)
+        else:
+            res = beam_decode_batch(self.params_gpt_rt, self.gpt, gen, cond,
+                                    emo, jnp.asarray(text), jnp.asarray(lens),
+                                    sub, max_new=gen.max_mel_tokens)
+        codes_np, lengths_np, hit = self._fetch_decode(res)
         for i, job in enumerate(jobs):
             code_len = max(int(lengths_np[i] - (0 if hit[i] else 1)), 1)
             row, row_len = post.remove_long_silence(
@@ -727,10 +776,6 @@ class TTSEngine:
         cond = padded_cat([j["spk"]["cond_latents"] for j in jobs])
         emo = padded_cat([j["emovec"] for j in jobs])
 
-        latent = self._gpt_latent(self.params_gpt_rt, cond, emo,
-                                  jnp.asarray(text), jnp.asarray(tlens),
-                                  jnp.asarray(codes), jnp.asarray(clens))
-
         pbuckets = tuple(x for x in cfg.engine.prompt_frame_buckets
                          if x < self.prompt_mel_frames) + (self.prompt_mel_frames,)
         pbucket = post.pick_bucket(max(j["spk"]["mel_frames"] for j in jobs),
@@ -746,11 +791,13 @@ class TTSEngine:
 
         mbucket = self._mel_bucket_for(cbucket)
         self._rng, sub = jax.random.split(self._rng)
-        mel, target_len = self._s2mel_chain(
-            self.params["s2mel"], self.params["repcodec"], latent,
-            jnp.asarray(codes), jnp.asarray(clens), prompt_condition,
-            mel_frames, ref_mel, style, sub, cbucket, mbucket)
-        wav = np.asarray(self._vocode(self.params["vocoder"], mel))
+        wav, target_len = self._synth_chain(
+            self.params_gpt_rt, self.params["s2mel"], self.params["repcodec"],
+            self.params["vocoder"], cond, emo, jnp.asarray(text),
+            jnp.asarray(tlens), jnp.asarray(codes), jnp.asarray(clens),
+            prompt_condition, mel_frames, ref_mel, style, sub, cbucket,
+            mbucket)
+        wav = np.asarray(wav)
         tls = np.asarray(target_len)
         hop = cfg.mel.hop_size
         for i, job in enumerate(jobs):
@@ -782,10 +829,7 @@ class TTSEngine:
                               spk["cond_latents"], emovec, jnp.asarray(text),
                               jnp.asarray([min(text_len, bucket)]), sub,
                               max_new=gen.max_mel_tokens)
-        codes_np = np.asarray(res.codes)
-        lengths_np = np.asarray(res.lengths)
-        hit_limit = np.asarray(res.hit_limit)
-        jax.block_until_ready(res.codes)
+        codes_np, lengths_np, hit_limit = self._fetch_decode(res)
         timers["gpt_gen_time"] += time.perf_counter() - t0
 
         # stop token excluded from the code sequence unless the row never
@@ -805,17 +849,6 @@ class TTSEngine:
         codes = np.zeros((1, cbucket), np.int32)
         codes[0, :code_len] = codes_np[0, :code_len]
 
-        # --- teacher-forced latent
-        t0 = time.perf_counter()
-        latent = self._gpt_latent(
-            self.params_gpt_rt, spk["cond_latents"], emovec, jnp.asarray(text),
-            jnp.asarray([min(text_len, bucket)]), jnp.asarray(codes),
-            jnp.asarray([code_len]))
-        jax.block_until_ready(latent)
-        timers["gpt_forward_time"] += time.perf_counter() - t0
-
-        # --- s2mel
-        t0 = time.perf_counter()
         mbucket = self._mel_bucket_for(cbucket)
         # slice the prompt to its frame bucket: DiT attention cost scales with
         # (prompt + generated)^2, so short prompts shouldn't pay for 15 s
@@ -825,19 +858,47 @@ class TTSEngine:
         prompt_condition = spk["prompt_condition"][:, :pbucket]
         ref_mel = spk["ref_mel"][:, :, :pbucket]
         self._rng, sub = jax.random.split(self._rng)
-        mel, target_len = self._s2mel_chain(
-            self.params["s2mel"], self.params["repcodec"], latent,
-            jnp.asarray(codes), jnp.asarray([code_len]),
-            prompt_condition, jnp.asarray([spk["mel_frames"]]),
-            ref_mel, spk["style"], sub, cbucket, mbucket)
-        jax.block_until_ready(mel)
-        timers["s2mel_time"] += time.perf_counter() - t0
 
-        # --- vocoder
-        t0 = time.perf_counter()
-        wav = self._vocode(self.params["vocoder"], mel)
-        wav_np = np.asarray(wav)[0].reshape(-1)
-        timers["bigvgan_time"] += time.perf_counter() - t0
+        if cfg.engine.fuse_synthesis:
+            # one dispatch + one host transfer for latent+s2mel+vocoder;
+            # per-stage breakdown is only available with fuse_synthesis=False
+            t0 = time.perf_counter()
+            wav, target_len = self._synth_chain(
+                self.params_gpt_rt, self.params["s2mel"],
+                self.params["repcodec"], self.params["vocoder"],
+                spk["cond_latents"], emovec, jnp.asarray(text),
+                jnp.asarray([min(text_len, bucket)]), jnp.asarray(codes),
+                jnp.asarray([code_len]), prompt_condition,
+                jnp.asarray([spk["mel_frames"]]), ref_mel, spk["style"], sub,
+                cbucket, mbucket)
+            wav_np = np.asarray(wav)[0].reshape(-1)
+            timers["synthesis_time"] = (timers.get("synthesis_time", 0.0)
+                                        + time.perf_counter() - t0)
+        else:
+            # --- teacher-forced latent
+            t0 = time.perf_counter()
+            latent = self._gpt_latent(
+                self.params_gpt_rt, spk["cond_latents"], emovec,
+                jnp.asarray(text), jnp.asarray([min(text_len, bucket)]),
+                jnp.asarray(codes), jnp.asarray([code_len]))
+            jax.block_until_ready(latent)
+            timers["gpt_forward_time"] += time.perf_counter() - t0
+
+            # --- s2mel
+            t0 = time.perf_counter()
+            mel, target_len = self._s2mel_chain(
+                self.params["s2mel"], self.params["repcodec"], latent,
+                jnp.asarray(codes), jnp.asarray([code_len]),
+                prompt_condition, jnp.asarray([spk["mel_frames"]]),
+                ref_mel, spk["style"], sub, cbucket, mbucket)
+            jax.block_until_ready(mel)
+            timers["s2mel_time"] += time.perf_counter() - t0
+
+            # --- vocoder
+            t0 = time.perf_counter()
+            wav = self._vocode(self.params["vocoder"], mel)
+            wav_np = np.asarray(wav)[0].reshape(-1)
+            timers["bigvgan_time"] += time.perf_counter() - t0
 
         n_frames = int(np.asarray(target_len)[0])
         hop = self.cfg.mel.hop_size

@@ -247,3 +247,31 @@ def beam_decode(params, model: UnifiedVoice, gen: GenerationConfig,
     posn = jnp.arange(max_new)[None, :]
     seq = jnp.where(posn < gen_len, seq, eos)
     return DecodeResult(seq, lengths, hit_limit)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "gen", "max_new"))
+def beam_decode_batch(params, model: UnifiedVoice, gen: GenerationConfig,
+                      cond_latents: jnp.ndarray, emo_vec: jnp.ndarray,
+                      text_tokens: jnp.ndarray, text_lengths: jnp.ndarray,
+                      rng: jax.Array, max_new: int) -> DecodeResult:
+    """Beam search/sample for a BATCH of independent requests.
+
+    vmaps `beam_decode` over the leading axis: each request runs its own
+    K-beam search in lockstep (the `done` flag freezes a finished request's
+    hypothesis pool, so requests that stop early stay correct while longer
+    ones keep stepping).  Inputs are batched like the sampling path —
+    cond (B, L, D), emo (B, D), text (B, bl), lengths (B,) — and the result
+    is a (B, max_new) DecodeResult.  Completes the reference default
+    `num_beams=3` (`infer_v2.py:604`) for the continuous-batching backend.
+    """
+    b = text_tokens.shape[0]
+    rngs = jax.random.split(rng, b)
+
+    def one(c, e, t, l, r):
+        return beam_decode(params, model, gen, c[None], e[None], t[None],
+                           l[None], r, max_new)
+
+    res = jax.vmap(one)(cond_latents, emo_vec, text_tokens, text_lengths,
+                        rngs)
+    return DecodeResult(res.codes[:, 0], res.lengths[:, 0],
+                        res.hit_limit[:, 0])

@@ -158,6 +158,9 @@ def _zh_verbalize(text: str) -> str:
 
     text = re.sub(r"(\d{4})年(\d{1,2})月(\d{1,2})[日号]", date_ymd, text)
     text = re.sub(r"(\d{4})/(\d{1,2})/(\d{1,2})", lambda m: date_ymd(m), text)
+    text = re.sub(r"(\d{4})[-~](\d{4})年",
+                  lambda m: zh_read_digits(m.group(1)) + "到"
+                  + zh_read_digits(m.group(2)) + "年", text)
     text = re.sub(r"(\d{4})年",
                   lambda m: zh_read_digits(m.group(1)) + "年", text)
 
@@ -185,6 +188,39 @@ def _zh_verbalize(text: str) -> str:
                   lambda m: zh_read_integer(int(m.group(2))) + "分之"
                   + zh_read_integer(int(m.group(1))), text)
 
+    # temperature: -5°C / 36.5℃ (negative reads 零下)
+    def temp(m):
+        sign = "零下" if m.group(1) else ""
+        return sign + zh_read_number(m.group(2)) + "摄氏度"
+
+    text = re.sub(r"(-|零下)?(\d+(?:\.\d+)?)\s*(?:°C|℃)", temp, text)
+
+    # percent ranges: 10%~20% / 10~20%  -> 百分之十到百分之二十
+    text = re.sub(r"(\d+(?:\.\d+)?)%?[-~](\d+(?:\.\d+)?)%",
+                  lambda m: "百分之" + zh_read_number(m.group(1)) + "到百分之"
+                  + zh_read_number(m.group(2)), text)
+
+    # numeric ranges: 3-5个 / 10~20天 (after phone rules so separator-digit
+    # runs of phone shape are already consumed)
+    def rng(m):
+        a, b = m.group(1), m.group(2)
+        if "." in a or "." in b:
+            return zh_read_number(a) + "到" + zh_read_number(b)
+        return zh_read_integer(int(a)) + "到" + zh_read_integer(int(b))
+
+    text = re.sub(r"(?<![\d.-])(\d{1,4}(?:\.\d+)?)[-~](\d{1,4}(?:\.\d+)?)"
+                  r"(?![\d.-])", rng, text)
+
+    # measure units (WeTextProcessing measure class, common subset)
+    units = {"km": "千米", "kg": "千克", "cm": "厘米", "mm": "毫米",
+             "ml": "毫升", "mg": "毫克", "m²": "平方米", "㎡": "平方米",
+             "m³": "立方米", "km/h": "千米每小时"}
+    unit_pat = "|".join(sorted((re.escape(u) for u in units), key=len,
+                               reverse=True))
+    text = re.sub(r"(\d+(?:\.\d+)?)\s*(" + unit_pat + r")(?![a-zA-Z])",
+                  lambda m: zh_read_number(m.group(1)) + units[m.group(2)],
+                  text)
+
     # percent / currency
     text = re.sub(r"(\d+(?:\.\d+)?)%",
                   lambda m: "百分之" + zh_read_number(m.group(1)), text)
@@ -210,6 +246,25 @@ def _en_verbalize(text: str) -> str:
         return out
 
     text = re.sub(r"(\d{1,2}):(\d{2})\b", time_hm, text)
+
+    # ordinals: 1st -> first, 23rd -> twenty-third
+    _ORD_IRREG = {"one": "first", "two": "second", "three": "third",
+                  "five": "fifth", "eight": "eighth", "nine": "ninth",
+                  "twelve": "twelfth"}
+
+    def ordinal(m):
+        words = en_read_integer(int(m.group(1)))
+        head, sep, last = (words.rpartition("-") if "-" in words.rsplit(" ", 1)[-1]
+                           else words.rpartition(" "))
+        if last in _ORD_IRREG:
+            last = _ORD_IRREG[last]
+        elif last.endswith("y"):
+            last = last[:-1] + "ieth"
+        else:
+            last = last + "th"
+        return head + sep + last
+
+    text = re.sub(r"\b(\d+)(?:st|nd|rd|th)\b", ordinal, text)
     text = re.sub(r"(\d+(?:\.\d+)?)%",
                   lambda m: en_read_number(m.group(1)) + " percent", text)
     text = re.sub(r"\$(\d+(?:\.\d+)?)",
