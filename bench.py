@@ -46,6 +46,10 @@ def build_engine(tiny: bool):
     cfg.engine.use_int8_decode = os.environ.get("INT8_DECODE", "1") == "1"
     # single-Pallas-call trunk megakernel for the batch-1 AR loop
     cfg.engine.use_fused_decode = os.environ.get("FUSED_DECODE", "1") == "1"
+    # bf16 s2mel/DiT compute (f32 softmax/LN stats); measured perf-neutral
+    # at bench shapes (DiT is op-overhead-bound, not MXU-bound) — default off
+    # to keep the reference's fp32 s2mel numerics
+    cfg.engine.use_bf16_s2mel = os.environ.get("S2MEL_BF16", "0") == "1"
     return TTSEngine.random(cfg, seed=0)
 
 

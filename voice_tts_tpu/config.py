@@ -266,6 +266,10 @@ class EngineConfig:
     # single host sync (each extra sync costs a round trip on remote-attached
     # chips); per-stage timers require fuse_synthesis=False
     fuse_synthesis: bool = True
+    # bf16 s2mel (DiT/CFM/regulator) compute; softmax/LN stats stay f32.
+    # The reference pins s2mel to fp32 (`infer_v2.py:710-711`) — bf16 trades
+    # ~2e-3 mel deviation (within the 1e-2 parity budget) for MXU-rate DiT
+    use_bf16_s2mel: bool = False
     seed: int = 0
 
 

@@ -141,6 +141,13 @@ class TTSEngine:
                 params["gpt"])
         else:
             self.params_gpt_rt = params["gpt"]
+        if cfg.engine.use_bf16_s2mel:
+            self.params_s2mel_rt = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                params["s2mel"])
+        else:
+            self.params_s2mel_rt = params["s2mel"]
         self._resamplers: Dict[Tuple[int, int], Resampler] = {}
         self._spk_cache: Dict[str, dict] = {}
         self._emo_cache: Dict[str, jnp.ndarray] = {}
@@ -324,8 +331,16 @@ class TTSEngine:
                                                 cond, target_len, total_max)
             prompt_x = place_prompt_mel(ref_mel, prompt_len, total_max)
 
-            def dit_apply(p, *a):
-                return self.s2mel.apply(p, *a, method=S2Mel.velocity)
+            def dit_apply(p, x, prompt_x, lens, t, style_v, mu):
+                # compute dtype follows the param tree (bf16 runtime tree
+                # under use_bf16_s2mel); CFM state x stays f32 in the caller
+                dt = jax.tree.leaves(p)[0].dtype
+                def conv(a):
+                    return a.astype(dt) if jnp.issubdtype(a.dtype, jnp.floating) else a
+                v = self.s2mel.apply(p, conv(x), conv(prompt_x), lens,
+                                     t, conv(style_v), conv(mu),
+                                     method=S2Mel.velocity)
+                return v.astype(jnp.float32)
 
             mel = cfm_inference(dit_apply, s2_params, cat, total_len, prompt_x,
                                 prompt_len, style, rng,
@@ -789,15 +804,21 @@ class TTSEngine:
             [j["spk"]["mel_frames"] for j in jobs]
             + [jobs[0]["spk"]["mel_frames"]] * (b - len(jobs)))
 
+        # split stage graphs (NOT the fused synth_chain): the three calls
+        # chain asynchronously with a single sync at the wav fetch anyway,
+        # and fusing here would compile one big graph per
+        # (batch, text, code, prompt, mel)-bucket combination instead of
+        # three small per-stage products
+        latent = self._gpt_latent(self.params_gpt_rt, cond, emo,
+                                  jnp.asarray(text), jnp.asarray(tlens),
+                                  jnp.asarray(codes), jnp.asarray(clens))
         mbucket = self._mel_bucket_for(cbucket)
         self._rng, sub = jax.random.split(self._rng)
-        wav, target_len = self._synth_chain(
-            self.params_gpt_rt, self.params["s2mel"], self.params["repcodec"],
-            self.params["vocoder"], cond, emo, jnp.asarray(text),
-            jnp.asarray(tlens), jnp.asarray(codes), jnp.asarray(clens),
-            prompt_condition, mel_frames, ref_mel, style, sub, cbucket,
-            mbucket)
-        wav = np.asarray(wav)
+        mel, target_len = self._s2mel_chain(
+            self.params_s2mel_rt, self.params["repcodec"], latent,
+            jnp.asarray(codes), jnp.asarray(clens), prompt_condition,
+            mel_frames, ref_mel, style, sub, cbucket, mbucket)
+        wav = np.asarray(self._vocode(self.params["vocoder"], mel))
         tls = np.asarray(target_len)
         hop = cfg.mel.hop_size
         for i, job in enumerate(jobs):
@@ -864,7 +885,7 @@ class TTSEngine:
             # per-stage breakdown is only available with fuse_synthesis=False
             t0 = time.perf_counter()
             wav, target_len = self._synth_chain(
-                self.params_gpt_rt, self.params["s2mel"],
+                self.params_gpt_rt, self.params_s2mel_rt,
                 self.params["repcodec"], self.params["vocoder"],
                 spk["cond_latents"], emovec, jnp.asarray(text),
                 jnp.asarray([min(text_len, bucket)]), jnp.asarray(codes),
@@ -887,7 +908,7 @@ class TTSEngine:
             # --- s2mel
             t0 = time.perf_counter()
             mel, target_len = self._s2mel_chain(
-                self.params["s2mel"], self.params["repcodec"], latent,
+                self.params_s2mel_rt, self.params["repcodec"], latent,
                 jnp.asarray(codes), jnp.asarray([code_len]),
                 prompt_condition, jnp.asarray([spk["mel_frames"]]),
                 ref_mel, spk["style"], sub, cbucket, mbucket)

@@ -32,8 +32,10 @@ class Conv1d(nn.Module):
         w = self.param(
             "weight", nn.initializers.lecun_normal(),
             (self.features, in_ch // self.groups, self.kernel_size))
+        # compute dtype follows the params (bf16 runtime trees); lax.conv
+        # requires lhs/rhs dtypes to match
         y = jax.lax.conv_general_dilated(
-            x, w,
+            x.astype(w.dtype), w,
             window_strides=(self.stride,),
             padding=[(self.padding, self.padding)],
             rhs_dilation=(self.dilation,),
@@ -68,7 +70,7 @@ class ConvTranspose1d(nn.Module):
         w_oik = jnp.flip(jnp.transpose(w, (1, 0, 2)), axis=-1)
         pad = self.kernel_size - 1 - self.padding
         y = jax.lax.conv_general_dilated(
-            x, w_oik,
+            x.astype(w.dtype), w_oik,
             window_strides=(1,),
             padding=[(pad, pad)],
             lhs_dilation=(self.stride,),

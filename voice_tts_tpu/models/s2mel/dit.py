@@ -80,9 +80,10 @@ class DiTBlock(nn.Module):
         k = apply_rope(k.reshape(b, t, h, hd), freqs)
         v = v.reshape(b, t, h, hd)
         scores = jnp.einsum("bihd,bjhd->bhij", q, k) / math.sqrt(hd)
-        neg = jnp.finfo(scores.dtype).min
-        scores = jnp.where(mask[:, None, :, :], scores, neg)
-        probs = jax.nn.softmax(scores, axis=-1)
+        # softmax stats in f32 regardless of compute dtype (bf16 path)
+        scores = scores.astype(jnp.float32)
+        scores = jnp.where(mask[:, None, :, :], scores, jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         attn = jnp.einsum("bhij,bjhd->bihd", probs, v).reshape(b, t, d)
         x = x + Linear(d, use_bias=False, name="wo")(attn)
 
@@ -122,9 +123,10 @@ class FinalLayer(nn.Module):
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
         mod = Linear(2 * self.hidden, name="adaLN_1")(nn.silu(c))
         shift, scale = jnp.split(mod, 2, axis=-1)
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + 1e-6)
+        xf = x.astype(jnp.float32)  # LN stats in f32 (bf16 path)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+        y = ((xf - mean) * jax.lax.rsqrt(var + 1e-6)).astype(x.dtype)
         y = y * (1 + scale[:, None, :]) + shift[:, None, :]
         return Linear(self.hidden, name="linear")(y)
 

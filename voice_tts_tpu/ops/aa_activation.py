@@ -235,10 +235,13 @@ def aa_snake_activation(x: jnp.ndarray, alpha: jnp.ndarray, beta_recip: jnp.ndar
       x: (B, C, T) float32.
       alpha: (C,) snake frequency (already exponentiated if log-scale).
       beta_recip: (C,) precomputed 1/(beta + 1e-9) magnitude term.
-      use_pallas: force kernel choice; defaults to True on TPU backends.
+      use_pallas: force kernel choice; default False — chained-execution
+        measurement on v5e (scripts/bench_vocoder.py) shows XLA's lowering of
+        the polyphase jnp path beats this kernel 2.3x at full-vocoder scale
+        (43 vs 97 ms for 5.2 s of audio), so the fused kernel is opt-in.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = False
     if use_pallas or interpret:
         return _aa_snake_pallas(x, alpha, beta_recip, interpret=interpret)
     return _aa_snake_jnp(x, alpha, beta_recip)
