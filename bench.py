@@ -50,6 +50,9 @@ def build_engine(tiny: bool):
     # at bench shapes (DiT is op-overhead-bound, not MXU-bound) — default off
     # to keep the reference's fp32 s2mel numerics
     cfg.engine.use_bf16_s2mel = os.environ.get("S2MEL_BF16", "0") == "1"
+    # whole-segment single-dispatch pipeline; max_mel_tokens above is sized
+    # to the utterance, which is exactly the case it is designed for
+    cfg.engine.fuse_pipeline = os.environ.get("FUSE_PIPELINE", "1") == "1"
     return TTSEngine.random(cfg, seed=0)
 
 

@@ -36,6 +36,29 @@ def test_engine_end_to_end(tmp_path):
     assert len(res2.wav) > 0
 
 
+def test_fused_pipeline_matches_split():
+    """Whole-segment single-dispatch pipeline == split path, wav-exact
+    (greedy decode, same rng; the code bucket math must agree end-to-end)."""
+    import jax
+
+    sr = 22050
+    t = np.arange(int(0.6 * sr)) / sr
+    prompt = encode_wav_int16(
+        (0.4 * np.sin(2 * np.pi * 220 * t)) * 32767, sr)
+
+    def run(fuse):
+        eng = TTSEngine.tiny(seed=0)
+        eng.cfg.engine.fuse_pipeline = fuse
+        eng._rng = jax.random.PRNGKey(7)
+        res = eng.infer(prompt, "hello.", None, do_sample=False)
+        return res.wav
+
+    w_split = run(False)
+    w_fused = run(True)
+    assert len(w_split) == len(w_fused)
+    np.testing.assert_array_equal(w_fused, w_split)
+
+
 def test_engine_emotion_controls():
     engine = _tiny_engine()
     sr = 22050

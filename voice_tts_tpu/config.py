@@ -270,6 +270,12 @@ class EngineConfig:
     # The reference pins s2mel to fp32 (`infer_v2.py:710-711`) — bf16 trades
     # ~2e-3 mel deviation (within the 1e-2 parity budget) for MXU-rate DiT
     use_bf16_s2mel: bool = False
+    # whole-segment single-dispatch pipeline (decode -> device-side
+    # silence trim -> synthesis): zero host round trips mid-segment, but the
+    # code bucket is pinned to max_mel_tokens' bucket, so CFM/vocoder run at
+    # full length even for short outputs — enable when max_mel_tokens is
+    # sized to the expected segment length (sampling path only)
+    fuse_pipeline: bool = False
     seed: int = 0
 
 

@@ -407,6 +407,57 @@ class TTSEngine:
 
         self._synth_chain = synth_chain
 
+        @partial(jax.jit,
+                 static_argnames=("gen", "cbucket", "mel_bucket", "max_new"))
+        def segment_pipeline(gpt_params, fused_pack, s2_params, rep_params,
+                             voc_params, cond, emovec, text, text_len,
+                             prompt_condition, prompt_len, ref_mel, style,
+                             rng, gen, cbucket, mel_bucket, max_new):
+            """The ENTIRE segment on device in one dispatch: GPT AR decode ->
+            silence-run trim -> teacher-forced latent -> s2mel CFM -> BigVGAN.
+
+            Zero host round trips between decode and synthesis (the split
+            path costs one RTT to fetch codes, trim on host and pick the code
+            bucket; here the code bucket is pinned to max_mel_tokens'
+            bucket up front).  Returns one int16 (B, frames + 1, hop) buffer:
+            the last row carries [target_len, code_len, hit_limit] metadata
+            so the host needs exactly ONE transfer per segment.
+
+            rng is (2, 2) uint32: [decode key, synthesis key] — split by the
+            caller exactly like the split path so the two paths consume
+            identical streams (wav-exact parity under greedy decode).
+            """
+            rng_d, rng_s = rng[0], rng[1]
+            res = gpt_decode(gpt_params, self.gpt, gen, cond, emovec, text,
+                             text_len, rng_d, max_new=max_new,
+                             fused_pack=fused_pack)
+            # stop token excluded unless the row never produced one
+            # (reference `infer_v2.py:676-687`)
+            code_len0 = jnp.maximum(
+                res.lengths - (~res.hit_limit).astype(res.lengths.dtype), 1)
+            codes, code_len = post.remove_long_silence_jax(
+                res.codes, code_len0, cfg.gpt.stop_mel_token,
+                cfg.engine.silent_token)
+            if cbucket < codes.shape[1]:
+                codes = codes[:, :cbucket]
+                code_len = jnp.minimum(code_len, cbucket)
+            elif cbucket > codes.shape[1]:
+                codes = jnp.pad(codes, ((0, 0), (0, cbucket - codes.shape[1])))
+            latent = self.gpt.apply(gpt_params, cond, emovec, text, text_len,
+                                    codes, code_len)
+            mel, target_len = s2mel_body(
+                s2_params, rep_params, latent, codes, code_len,
+                prompt_condition, prompt_len, ref_mel, style, rng_s,
+                mel_bucket)
+            wav = vocode_body(voc_params, mel)
+            meta = jnp.zeros((wav.shape[0], 1, wav.shape[2]), jnp.int16)
+            meta = meta.at[:, 0, 0].set(target_len.astype(jnp.int16))
+            meta = meta.at[:, 0, 1].set(code_len.astype(jnp.int16))
+            meta = meta.at[:, 0, 2].set(res.hit_limit.astype(jnp.int16))
+            return jnp.concatenate([wav, meta], axis=1)
+
+        self._segment_pipeline = segment_pipeline
+
     def _fetch_decode(self, res):
         """One-transfer fetch of a DecodeResult -> (codes, lengths, hit)."""
         packed = np.asarray(self._pack_decode(res))
@@ -632,6 +683,10 @@ class TTSEngine:
         metrics = {**timers, "inference_time": total,
                    "audio_length": wav_len,
                    "rtf": total / wav_len if wav_len > 0 else 0.0}
+        if "pipeline_time" in timers:
+            logger.info("pipeline_time: %.2f s (decode+trim+synthesis fused; "
+                        "set fuse_pipeline=False for the stage split)",
+                        timers["pipeline_time"])
         logger.info("gpt_gen_time: %.2f s", timers["gpt_gen_time"])
         if "synthesis_time" in timers:
             logger.info("synthesis_time: %.2f s (latent+s2mel+vocoder fused; "
@@ -835,6 +890,39 @@ class TTSEngine:
         bucket = post.pick_bucket(text_len, cfg.engine.text_buckets)
         text = np.zeros((1, bucket), np.int32)
         text[0, :text_len] = ids[:bucket]
+
+        # --- whole-segment fused pipeline (decode -> trim -> synthesis in
+        # one dispatch, one transfer): the code bucket is pinned to
+        # max_mel_tokens' bucket, so this pays full-length CFM/vocoder cost
+        # even for short outputs — right for latency-critical serving with
+        # per-segment caps, wasteful for max_mel_tokens >> typical output
+        if cfg.engine.fuse_pipeline and gen.num_beams <= 1:
+            t0 = time.perf_counter()
+            cbucket = post.pick_bucket(gen.max_mel_tokens,
+                                       self._code_buckets())
+            mbucket = self._mel_bucket_for(cbucket)
+            pbuckets = tuple(b for b in cfg.engine.prompt_frame_buckets
+                             if b < self.prompt_mel_frames) \
+                + (self.prompt_mel_frames,)
+            pbucket = post.pick_bucket(spk["mel_frames"], pbuckets)
+            self._rng, sub_d = jax.random.split(self._rng)
+            self._rng, sub_s = jax.random.split(self._rng)
+            out = self._segment_pipeline(
+                self.params_gpt_rt, self.fused_pack, self.params_s2mel_rt,
+                self.params["repcodec"], self.params["vocoder"],
+                spk["cond_latents"], emovec, jnp.asarray(text),
+                jnp.asarray([min(text_len, bucket)]),
+                spk["prompt_condition"][:, :pbucket],
+                jnp.asarray([spk["mel_frames"]]),
+                spk["ref_mel"][:, :, :pbucket], spk["style"],
+                jnp.stack([sub_d, sub_s]), gen, cbucket, mbucket,
+                gen.max_mel_tokens)
+            arr = np.asarray(out)
+            n_frames = int(arr[0, -1, 0])
+            wav_np = arr[0, :-1].reshape(-1)
+            timers["pipeline_time"] = (timers.get("pipeline_time", 0.0)
+                                       + time.perf_counter() - t0)
+            return wav_np[: n_frames * self.cfg.mel.hop_size]
 
         # --- GPT AR decode (beam path when num_beams > 1, reference default 3)
         t0 = time.perf_counter()

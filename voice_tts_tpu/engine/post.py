@@ -39,6 +39,40 @@ def remove_long_silence(codes: np.ndarray, lengths: np.ndarray,
     return out, np.asarray(out_lens, dtype=np.int64)
 
 
+def remove_long_silence_jax(codes, lengths, stop_token: int,
+                            silent_token: int = 52, max_consecutive: int = 30,
+                            pad_value: int = 0):
+    """Jittable `remove_long_silence`: same semantics, fixed shapes.
+
+    codes (B, T) int32, lengths (B,) valid counts (stop excluded).  Returns
+    (out (B, T), new_lengths (B,)): kept tokens left-compacted, the rest
+    filled with `pad_value` (the engine pads with an ordinary code, not the
+    stop id — see the synth-input note in engine.py).  Runs on device so the
+    decode -> trim -> synthesis chain needs no host round trip.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    b, t = codes.shape
+    idx = jnp.arange(t)[None, :]
+    valid = idx < lengths[:, None]
+    is_sil = (codes == silent_token) & valid
+    # run length of consecutive silent tokens ending at each position
+    last_non_sil = jax.lax.cummax(
+        jnp.where(is_sil, -1, idx), axis=1)                     # (B, T)
+    run = idx - last_non_sil
+    needs_trim = (jnp.sum(is_sil, axis=1) > max_consecutive)[:, None]
+    keep = valid & (~is_sil | (run <= 10) | ~needs_trim)
+    new_pos = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+    # scatter kept tokens to their compacted positions (dropped rows -> T,
+    # out of range, mode="drop")
+    pos = jnp.where(keep, new_pos, t)
+    out = jnp.full((b, t), pad_value, dtype=codes.dtype)
+    out = out.at[jnp.arange(b)[:, None], pos].set(codes, mode="drop")
+    new_lengths = jnp.maximum(jnp.sum(keep, axis=1), 1)
+    return out, new_lengths
+
+
 def insert_interval_silence(wavs: List[np.ndarray], sampling_rate: int = 22050,
                             interval_silence_ms: int = 200) -> np.ndarray:
     """Concatenate segment waveforms with silence gaps

@@ -52,8 +52,12 @@ class Conv1DGPT(nn.Module):
             y = int8_gemv(x.reshape(bsz * s, din), w,
                           scale.astype(jnp.float32), interpret=interp)
             return y.reshape(bsz, s, self.features) + b
-        y = jnp.dot(x, w.astype(x.dtype))
-        return y * scale.astype(x.dtype) + b
+        # prefill/batch-sized: dequantize to bf16, not x.dtype — halves the
+        # convert+dot HBM traffic and runs the MXU at bf16 rate; the f32
+        # scale multiply restores the magnitude, output back in x.dtype
+        y = jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        return (y * scale.astype(jnp.float32) + b).astype(x.dtype)
 
 
 class GPT2Block(nn.Module):
