@@ -137,6 +137,124 @@ def test_fused_step_matches_xla(setup):
         tok_f = jnp.argmax(logits_f, axis=-1).astype(jnp.int32)
 
 
+def test_int4_pack_roundtrip(setup):
+    """Dequantized int4 tiles reconstruct the f32 weights within the g128
+    RTN quantization error bound (scale/2 per element)."""
+    from voice_tts_tpu.ops.fused_decode import GROUP, pack_gpt_int4
+
+    model, qparams, pack = setup
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 6, 1024)),
+                        jnp.zeros((1, 6, 1024)),
+                        jnp.zeros((1, 5), dtype=jnp.int32), jnp.asarray([5]),
+                        jnp.zeros((1, 7), dtype=jnp.int32),
+                        jnp.asarray([7]), method=UnifiedVoice.init_all)
+    p4 = pack_gpt_int4(params, CFG.layers)
+    d = CFG.model_dim
+    assert p4.w.shape == (CFG.layers, 12, d // 2, d)
+    assert p4.gscales.shape == (CFG.layers, 12, d // GROUP, d)
+
+    # reconstruct tile 1 (qkv column tile for k) of layer 0
+    wq = np.asarray(p4.w[0, 1], np.int32)
+    lo = ((wq & 15) ^ 8) - 8
+    hi = wq >> 4
+    q = np.concatenate([lo, hi], axis=0).astype(np.float32)   # (D, D)
+    scales = np.asarray(p4.gscales[0, 1], np.float32)          # (G, D)
+    deq = q * np.repeat(scales, GROUP, axis=0)
+    ref = np.asarray(
+        params["params"]["gpt"]["h_0"]["attn_c_attn"]["weight"][:, d:2 * d],
+        np.float32)
+    err = np.abs(deq - ref)
+    bound = np.repeat(scales, GROUP, axis=0) * 0.5 + 1e-8
+    assert (err <= bound + 1e-6).mean() > 0.999, err.max()
+    # biases ride in consts rows 12-23 like the int8 pack
+    np.testing.assert_allclose(
+        np.asarray(p4.consts[0, 13]),
+        np.asarray(params["params"]["gpt"]["h_0"]["attn_c_attn"]["bias"],
+                   np.float32).reshape(3, -1)[1], rtol=1e-6)
+
+
+def test_int4_step_matches_dequantized_xla(setup):
+    """The int4 megakernel step == the XLA decode path running the EXACT
+    dequantized int4 weights (isolates kernel math from quantization error:
+    any unpack/scale-indexing bug would blow past bf16 tolerance)."""
+    from voice_tts_tpu.ops.fused_decode import GROUP, pack_gpt_int4
+
+    model, qparams, pack = setup
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 6, 1024)),
+                        jnp.zeros((1, 6, 1024)),
+                        jnp.zeros((1, 5), dtype=jnp.int32), jnp.asarray([5]),
+                        jnp.zeros((1, 7), dtype=jnp.int32),
+                        jnp.asarray([7]), method=UnifiedVoice.init_all)
+    p4 = pack_gpt_int4(params, CFG.layers)
+    d = CFG.model_dim
+
+    w4 = np.asarray(p4.w, np.int32)
+    lo = ((w4 & 15) ^ 8) - 8
+    hi = w4 >> 4
+    q = np.concatenate([lo, hi], axis=2).astype(np.float32)
+    deq = q * np.repeat(np.asarray(p4.gscales, np.float32), GROUP, axis=2)
+
+    pd = jax.device_get(jax.tree.map(lambda x: x, params))
+    tree = pd["params"]["gpt"]
+    for i in range(CFG.layers):
+        h = tree[f"h_{i}"]
+        h["attn_c_attn"]["weight"] = np.concatenate(
+            [deq[i, t] for t in range(3)], axis=1)
+        h["attn_c_proj"]["weight"] = deq[i, 3]
+        h["mlp_c_fc"]["weight"] = np.concatenate(
+            [deq[i, 4 + j] for j in range(4)], axis=1)
+        h["mlp_c_proj"]["weight"] = np.concatenate(
+            [deq[i, 8 + j] for j in range(4)], axis=0)
+    pdeq = jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.bfloat16)
+        if getattr(x, "dtype", None) == np.float32 else jnp.asarray(x), pd)
+
+    p, t_max, valid, logits0, cache = _prefill(model, qparams)
+    bias = jnp.where(valid[0, :, None], 0.0, -1e30).astype(jnp.float32)
+    cache_tm = cache_to_time_major(cache)
+    tok = jnp.asarray([3], jnp.int32)
+    step = jnp.asarray(1)
+
+    logits_ref, _ = model.apply(pdeq, tok, step - 1, p + step, valid, cache,
+                                method=UnifiedVoice.decode_step)
+    emb = model.apply(qparams, tok, step - 1,
+                      method=UnifiedVoice.embed_decode_token)
+    hid, _ = fused_decode_step(emb, p4, cache_tm, bias, p + step, CFG.heads,
+                               interpret=True)
+    logits_4 = model.apply(qparams, hid, method=UnifiedVoice.readout)
+
+    lr = np.asarray(logits_ref, np.float32)
+    l4 = np.asarray(logits_4, np.float32)
+    assert np.abs(lr - l4).max() < 0.02 * np.abs(lr).max()
+    assert int(lr.argmax()) == int(l4.argmax())
+
+
+def test_int4_full_decode_runs(setup):
+    """decode() with the int4 pack produces a valid code sequence."""
+    from voice_tts_tpu.ops.fused_decode import pack_gpt_int4
+
+    model, qparams, pack = setup
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 6, 1024)),
+                        jnp.zeros((1, 6, 1024)),
+                        jnp.zeros((1, 5), dtype=jnp.int32), jnp.asarray([5]),
+                        jnp.zeros((1, 7), dtype=jnp.int32),
+                        jnp.asarray([7]), method=UnifiedVoice.init_all)
+    p4 = pack_gpt_int4(params, CFG.layers)
+    gen = GenerationConfig(do_sample=False, num_beams=1,
+                           repetition_penalty=10.0)
+    cond = jax.random.normal(jax.random.PRNGKey(1),
+                             (1, CFG.condition_num_latent, CFG.model_dim),
+                             jnp.bfloat16)
+    emo = jax.random.normal(jax.random.PRNGKey(2), (1, CFG.model_dim),
+                            jnp.bfloat16)
+    text = jnp.asarray([[3, 5, 7, 2, 9, 4, 0, 0]], dtype=jnp.int32)
+    res4 = decode(qparams, model, gen, cond, emo, text, jnp.asarray([6]),
+                  jax.random.PRNGKey(3), 12, fused_pack=p4)
+    codes = np.asarray(res4.codes)
+    assert codes.shape == (1, 12)
+    assert codes.min() >= 0 and codes.max() < CFG.number_mel_codes
+
+
 def test_fused_full_decode_greedy(setup):
     """Full decode() with fused_pack produces the same greedy codes as the
     XLA int8 path (tiny model, short horizon)."""

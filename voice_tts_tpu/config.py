@@ -262,6 +262,11 @@ class EngineConfig:
     # single-Pallas-call trunk megakernel for batch-1 AR decode (requires
     # use_int8_decode; see ops/fused_decode.py)
     use_fused_decode: bool = False
+    # int4 (g128) weight tiles inside the megakernel: halves the per-token
+    # weight DMA vs int8 (measured 1.33x tile streaming after the in-kernel
+    # unpack cost). RTN int4 is a real quality trade — validate on real
+    # checkpoints before enabling in production; prefill/latent stay int8
+    use_int4_decode: bool = False
     # run teacher-forced latent + s2mel + vocoder as ONE jitted graph with a
     # single host sync (each extra sync costs a round trip on remote-attached
     # chips); per-stage timers require fuse_synthesis=False

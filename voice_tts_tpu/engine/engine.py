@@ -132,8 +132,15 @@ class TTSEngine:
             from voice_tts_tpu.utils.quantize import quantize_gpt_params
             self.params_gpt_rt = quantize_gpt_params(params["gpt"])
             if cfg.engine.use_fused_decode:
-                from voice_tts_tpu.ops.fused_decode import pack_gpt
-                self.fused_pack = pack_gpt(self.params_gpt_rt, cfg.gpt.layers)
+                if cfg.engine.use_int4_decode:
+                    # int4 tiles quantize from the ORIGINAL f32 weights
+                    from voice_tts_tpu.ops.fused_decode import pack_gpt_int4
+                    self.fused_pack = pack_gpt_int4(params["gpt"],
+                                                    cfg.gpt.layers)
+                else:
+                    from voice_tts_tpu.ops.fused_decode import pack_gpt
+                    self.fused_pack = pack_gpt(self.params_gpt_rt,
+                                               cfg.gpt.layers)
         elif cfg.engine.use_fp16:
             self.params_gpt_rt = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16)
