@@ -140,36 +140,70 @@ _C_TILE = 8      # sublane tile
 _T_TILE = 8192   # time (lane) tile per kernel invocation; bounds VMEM use
 
 
-def _aa_kernel(x_ref, alpha_ref, beta_ref, out_ref):
+def _aa_kernel_small(x_ref, alpha_ref, beta_ref, out_ref):
     # blocks carry a leading grid dim of size 1
-    x_ext = x_ref[0]                         # (C_TILE, L), already padded
+    x_ext = x_ref[0]                         # (C_TILE, T+7), already padded
     out_ref[0] = _aa_core(x_ext, alpha_ref[0], beta_ref[0])
 
 
-def _chunk_plan(t: int, tile: int):
-    """Overlapped chunk layout for long signals.
+def _aa_core_roll(w, alpha, beta_recip):
+    """`_aa_core` with rolls instead of shifted slices (chunked kernel only:
+    cyclic wraparound corrupts <=6 lanes at the window edges, which lie in
+    the discarded >=121-lane margins).  Lane-rolls lower to one Mosaic op vs
+    a realigning strided slice per tap."""
+    def roll(v, shift):
+        return v if shift == 0 else jnp.roll(v, shift, axis=-1)
 
-    Each chunk is an x_ext slice of length L = tile + 19 whose local edge
-    behaviour is only *correct* at the true signal edges; interior chunk
-    margins (6 output samples each side) are discarded.  Returns
-    (L, [(slice_start, valid_local_start, out_start, out_len)]).
+    def mac(taps, offset):
+        acc = None
+        for a, tap in enumerate(taps):
+            term = roll(w, -(offset - a)) * tap
+            acc = term if acc is None else acc + term
+        return acc
+
+    u_e = 2.0 * mac([float(v) for v in _H_ODD], 5)
+    u_o = 2.0 * mac([float(v) for v in _H_EVEN], 6)
+    z_e = _snake(u_e, alpha, beta_recip)
+    z_o = _snake(u_o, alpha, beta_recip)
+
+    def mac2(z, taps, offset):
+        acc = None
+        for b, tap in enumerate(taps):
+            term = roll(z, -(offset + b)) * tap
+            acc = term if acc is None else acc + term
+        return acc
+
+    # ze/zo are aligned with u (output index t ~ lane t); down conv:
+    # out[t] = sum_b h_odd[b] * z_e[t + b - 2] + h_even[b] * z_o[t + b - 3]
+    # (derived from the ext-padded form: ze_ext[t+b+1] with 3-pad == z_e at
+    # t + b - 2; zo_ext[t+b] == z_o at t + b - 3)
+    return (mac2(z_e, [float(v) for v in _H_ODD], -2)
+            + mac2(z_o, [float(v) for v in _H_EVEN], -3))
+
+
+def _aa_kernel_chunked(x_hbm, alpha_ref, beta_ref, out_ref, buf, sem, *, tt):
+    """One (channel-tile, time-chunk) grid step over the padded signal.
+
+    Reads an overlapped (C_TILE, tt+256) window straight from HBM (the
+    signal carries a 128-column replicate pad on the left, so every window
+    start j*tt and the window length are 128-aligned — a Mosaic DMA
+    requirement — with no per-chunk branches).  Interior margins are
+    discarded; no host-side chunk stacking or restitching (the old wrapper's
+    stack/tile/concat cost several extra HBM passes and made the kernel
+    2.3x slower than XLA's lowering of the jnp path).
+
+    Edge note: the long replicate pads mean the first/last ~3 output samples
+    see snake(x_edge) where the unchunked path replicates the z phases —
+    a sub-1e-3 filter-tail deviation confined to those samples (tested).
     """
-    if t + 7 <= tile + 19:
-        return t + 7, [(0, 0, 0, t)]
-    n = -(-t // tile)
-    length = tile + 19
-    plan = []
-    for j in range(n):
-        out_start = j * tile
-        out_len = min(t, out_start + tile) - out_start
-        if j == 0:
-            start = 0
-        elif j == n - 1:
-            start = t + 7 - length
-        else:
-            start = out_start - 6
-        plan.append((start, out_start - start, out_start, out_len))
-    return length, plan
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[i, :, pl.ds(j * tt, tt + 256)], buf, sem)
+    cp.start()
+    cp.wait()
+    core = _aa_core_roll(buf[...], alpha_ref[0], beta_ref[0])
+    out_ref[0] = core[:, 128:128 + tt]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -181,45 +215,61 @@ def _aa_snake_pallas(x, alpha, beta_recip, interpret=False):
         alpha = jnp.pad(alpha, (0, c_pad))
         beta_recip = jnp.pad(beta_recip, (0, c_pad), constant_values=1.0)
     cp = c + c_pad
+    alpha_b = jnp.tile(alpha.reshape(cp // _C_TILE, _C_TILE, 1), (b, 1, 1))
+    beta_b = jnp.tile(beta_recip.reshape(cp // _C_TILE, _C_TILE, 1), (b, 1, 1))
+    rows = b * cp // _C_TILE
+
+    if t + 7 <= _T_TILE + 19:
+        x_ext = jnp.concatenate(
+            [jnp.repeat(x[..., :1], 3, axis=-1), x,
+             jnp.repeat(x[..., -1:], 4, axis=-1)],
+            axis=-1).reshape(rows, _C_TILE, t + 7)
+        out = pl.pallas_call(
+            _aa_kernel_small,
+            grid=(rows,),
+            in_specs=[
+                pl.BlockSpec((1, _C_TILE, t + 7), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _C_TILE, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _C_TILE, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, _C_TILE, t), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows, _C_TILE, t), x.dtype),
+            interpret=interpret,
+        )(x_ext, alpha_b, beta_b)
+        return out.reshape(b, cp, t)[:, :c, :]
+
+    # chunked path: [128 rep | 3 rep | x | 4 rep | rep to n*tt + 256]
+    n = -(-t // _T_TILE)
+    pad_r = n * _T_TILE + 256 - 128 - (t + 7)
     x_ext = jnp.concatenate(
-        [jnp.repeat(x[..., :1], 3, axis=-1), x, jnp.repeat(x[..., -1:], 4, axis=-1)],
-        axis=-1)  # (B, Cp, T+7)
-
-    length, plan = _chunk_plan(t, _T_TILE)
-    n_chunks = len(plan)
-    chunks = jnp.stack([
-        jax.lax.slice_in_dim(x_ext, s, s + length, axis=-1) for s, _, _, _ in plan
-    ], axis=0)  # (n, B, Cp, L)
-    chunks = chunks.reshape(n_chunks * b * cp // _C_TILE, _C_TILE, length)
-
-    alpha_b = jnp.tile(alpha.reshape(cp // _C_TILE, _C_TILE, 1), (n_chunks * b, 1, 1))
-    beta_b = jnp.tile(beta_recip.reshape(cp // _C_TILE, _C_TILE, 1), (n_chunks * b, 1, 1))
-
+        [jnp.repeat(x[..., :1], 131, axis=-1), x,
+         jnp.repeat(x[..., -1:], 4 + pad_r, axis=-1)],
+        axis=-1).reshape(rows, _C_TILE, n * _T_TILE + 256)
+    kernel = functools.partial(_aa_kernel_chunked, tt=_T_TILE)
     out = pl.pallas_call(
-        _aa_kernel,
-        grid=(n_chunks * b * cp // _C_TILE,),
+        kernel,
+        grid=(rows, n),
         in_specs=[
-            pl.BlockSpec((1, _C_TILE, length), lambda i: (i, 0, 0),
+            pl.BlockSpec(memory_space=pl.ANY),            # x_ext in HBM
+            pl.BlockSpec((1, _C_TILE, 1), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _C_TILE, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _C_TILE, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, _C_TILE, 1), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _C_TILE, length - 7), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, _C_TILE, _T_TILE), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (n_chunks * b * cp // _C_TILE, _C_TILE, length - 7), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((rows, _C_TILE, n * _T_TILE), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((_C_TILE, _T_TILE + 256), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=interpret,
-    )(chunks, alpha_b, beta_b)
-    out = out.reshape(n_chunks, b, cp, length - 7)
-
-    pieces = [
-        jax.lax.slice_in_dim(out[j], v, v + out_len, axis=-1)
-        for j, (_, v, _, out_len) in enumerate(plan)
-    ]
-    full = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=-1)
-    return full[:, :c, :]
+    )(x_ext, alpha_b, beta_b)
+    return out.reshape(b, cp, n * _T_TILE)[:, :c, :t]
 
 
 # ---------------------------------------------------------------------------
@@ -243,5 +293,7 @@ def aa_snake_activation(x: jnp.ndarray, alpha: jnp.ndarray, beta_recip: jnp.ndar
     if use_pallas is None:
         use_pallas = False
     if use_pallas or interpret:
+        # the kernel only compiles on TPU; fall back to interpret elsewhere
+        interpret = interpret or jax.default_backend() != "tpu"
         return _aa_snake_pallas(x, alpha, beta_recip, interpret=interpret)
     return _aa_snake_jnp(x, alpha, beta_recip)
