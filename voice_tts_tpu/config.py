@@ -116,6 +116,12 @@ class DiTConfig:
     final_layer_type: str = "wavenet"
     rope_base: float = 10000.0
     block_size: int = 8192
+    # Pallas flash attention for the DiT's full self-attention (TPU only;
+    # falls back to the einsum path elsewhere). Measured 5x SLOWER than the
+    # einsum path at serving shapes (b=2, h=8, t~700: per-invocation
+    # overhead dominates; the score tensor is only ~16 MB) — keep for
+    # long-context DiT configs (t >~ 4k), off by default
+    flash_attention: bool = False
 
 
 @dataclass(eq=False)

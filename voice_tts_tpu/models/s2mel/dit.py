@@ -79,12 +79,41 @@ class DiTBlock(nn.Module):
         q = apply_rope(q.reshape(b, t, h, hd), freqs)
         k = apply_rope(k.reshape(b, t, h, hd), freqs)
         v = v.reshape(b, t, h, hd)
-        scores = jnp.einsum("bihd,bjhd->bhij", q, k) / math.sqrt(hd)
-        # softmax stats in f32 regardless of compute dtype (bf16 path)
-        scores = scores.astype(jnp.float32)
-        scores = jnp.where(mask[:, None, :, :], scores, jnp.finfo(jnp.float32).min)
-        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        attn = jnp.einsum("bhij,bjhd->bihd", probs, v).reshape(b, t, d)
+        if self.cfg.flash_attention and jax.default_backend() == "tpu":
+            # Pallas flash attention: never materializes the (B,H,T,T)
+            # score tensor (the einsum path writes+reads it twice per block
+            # — the dominant HBM traffic of a CFM step).  Padded key
+            # positions are fenced via segment ids; padded-query outputs are
+            # garbage either way and the WN head re-masks per layer.
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                BlockSizes, SegmentIds, flash_attention)
+
+            pad = (-t) % 128
+            qf = jnp.transpose(q, (0, 2, 1, 3))          # (B, H, T, hd)
+            kf = jnp.transpose(k, (0, 2, 1, 3))
+            vf = jnp.transpose(v, (0, 2, 1, 3))
+            if pad:
+                qf = jnp.pad(qf, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                kf = jnp.pad(kf, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                vf = jnp.pad(vf, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            valid = mask[:, 0, :]                        # (B, T) key validity
+            seg = jnp.pad(valid.astype(jnp.int32), ((0, 0), (0, pad)))
+            tp = t + pad
+            blk = next(bs for bs in (512, 256, 128) if tp % bs == 0)
+            sizes = BlockSizes(block_q=blk, block_k_major=blk, block_k=blk,
+                               block_b=1)
+            out = flash_attention(
+                qf, kf, vf, segment_ids=SegmentIds(seg, seg),
+                sm_scale=1.0 / math.sqrt(hd), block_sizes=sizes)
+            attn = jnp.transpose(out[:, :, :t], (0, 2, 1, 3)).reshape(b, t, d)
+        else:
+            scores = jnp.einsum("bihd,bjhd->bhij", q, k) / math.sqrt(hd)
+            # softmax stats in f32 regardless of compute dtype (bf16 path)
+            scores = scores.astype(jnp.float32)
+            scores = jnp.where(mask[:, None, :, :], scores,
+                               jnp.finfo(jnp.float32).min)
+            probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+            attn = jnp.einsum("bhij,bjhd->bihd", probs, v).reshape(b, t, d)
         x = x + Linear(d, use_bias=False, name="wo")(attn)
 
         y = AdaptiveRMSNorm(d, name="ffn_norm")(x, c)
