@@ -176,7 +176,10 @@ class DiT(nn.Module):
         c = self.cfg
         b, _, tlen = x.shape
 
-        t1 = TimestepEmbedder(c.hidden_dim, name="t_embedder")(t)  # (B, D)
+        # compute dtype follows the (possibly bf16) inputs; the timestep
+        # embedding must come back down to it or every adaLN projection —
+        # and through them every matmul — silently promotes to f32
+        t1 = TimestepEmbedder(c.hidden_dim, name="t_embedder")(t).astype(x.dtype)
         cond = Linear(c.hidden_dim, name="cond_projection")(cond)
 
         xt = jnp.transpose(x, (0, 2, 1))
@@ -202,7 +205,7 @@ class DiT(nn.Module):
 
         # wavenet final head
         w = self.wavenet
-        t2 = TimestepEmbedder(w.hidden_dim, name="t_embedder2")(t)
+        t2 = TimestepEmbedder(w.hidden_dim, name="t_embedder2")(t).astype(x.dtype)
         y = Linear(w.hidden_dim, name="conv1")(h)
         y = jnp.transpose(y, (0, 2, 1))
         x_mask = mask[:, None, :].astype(y.dtype)
