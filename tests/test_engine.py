@@ -59,6 +59,36 @@ def test_fused_pipeline_matches_split():
     np.testing.assert_array_equal(w_fused, w_split)
 
 
+def test_fused_pipeline_auto_bucket():
+    """auto_code_bucket sizes the fused pipeline's code bucket from the text
+    length (instead of max_mel_tokens), retrying once at the full bucket if
+    the decode hits the estimated cap.  With a completed (non-retry) decode
+    the picked bucket matches the split path's, so the wav is exact."""
+    import jax
+
+    sr = 22050
+    t = np.arange(int(0.6 * sr)) / sr
+    prompt = encode_wav_int16(
+        (0.4 * np.sin(2 * np.pi * 220 * t)) * 32767, sr)
+
+    def run(fuse):
+        eng = TTSEngine.tiny(seed=0)
+        # cap well above the tiny (32, 64) buckets' first rung so the
+        # estimate actually picks a smaller bucket than the cap's
+        eng.cfg.generation.max_mel_tokens = 64
+        eng.cfg.engine.fuse_pipeline = fuse
+        eng.cfg.engine.codes_per_text_token = 1.0
+        eng._rng = jax.random.PRNGKey(7)
+        res = eng.infer(prompt, "hello.", None, do_sample=False)
+        return res.wav
+
+    w_split = run(False)
+    w_fused = run(True)
+    assert len(w_fused) > 0
+    if len(w_split) == len(w_fused):
+        np.testing.assert_array_equal(w_fused, w_split)
+
+
 def test_engine_emotion_controls():
     engine = _tiny_engine()
     sr = 22050

@@ -282,11 +282,21 @@ class EngineConfig:
     # ~2e-3 mel deviation (within the 1e-2 parity budget) for MXU-rate DiT
     use_bf16_s2mel: bool = False
     # whole-segment single-dispatch pipeline (decode -> device-side
-    # silence trim -> synthesis): zero host round trips mid-segment, but the
-    # code bucket is pinned to max_mel_tokens' bucket, so CFM/vocoder run at
-    # full length even for short outputs — enable when max_mel_tokens is
-    # sized to the expected segment length (sampling path only)
+    # silence trim -> synthesis): zero host round trips mid-segment
+    # (sampling path only)
     fuse_pipeline: bool = False
+    # size the fused-pipeline code bucket from a text-length estimate instead
+    # of pinning it to max_mel_tokens' bucket (decode KV cache and CFM/vocoder
+    # cost all scale with the bucket, so a 1500-token cap shouldn't make a
+    # one-sentence segment pay 1536-bucket synthesis). If the decode hits the
+    # estimated cap the segment is re-run once at the full bucket, so output
+    # is unaffected by a too-small estimate.
+    auto_code_bucket: bool = True
+    # codes-per-text-token headroom for that estimate: mel codes run at
+    # ~25 Hz, i.e. ~2-3 codes per English BPE token / ~6 per Chinese char
+    # (reference `infer_v2.py` segments are <=120 text tokens) — 8 gives
+    # >=3x margin so cap-hit retries stay rare
+    codes_per_text_token: float = 8.0
     seed: int = 0
 
 

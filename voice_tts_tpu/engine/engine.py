@@ -899,32 +899,46 @@ class TTSEngine:
         text[0, :text_len] = ids[:bucket]
 
         # --- whole-segment fused pipeline (decode -> trim -> synthesis in
-        # one dispatch, one transfer): the code bucket is pinned to
-        # max_mel_tokens' bucket, so this pays full-length CFM/vocoder cost
-        # even for short outputs — right for latency-critical serving with
-        # per-segment caps, wasteful for max_mel_tokens >> typical output
+        # one dispatch, one transfer). The code bucket is static per dispatch,
+        # so it can't come from the actual decoded length without a mid-
+        # pipeline host sync; by default it is estimated from the text length
+        # (decode KV cache + CFM/vocoder all scale with it), with ONE retry at
+        # the full max_mel_tokens bucket if the decode hit the estimated cap
         if cfg.engine.fuse_pipeline and gen.num_beams <= 1:
             t0 = time.perf_counter()
-            cbucket = post.pick_bucket(gen.max_mel_tokens,
-                                       self._code_buckets())
-            mbucket = self._mel_bucket_for(cbucket)
+            full_cbucket = post.pick_bucket(gen.max_mel_tokens,
+                                            self._code_buckets())
+            if cfg.engine.auto_code_bucket:
+                est = int(text_len * cfg.engine.codes_per_text_token) + 16
+                cbucket = post.pick_bucket(min(est, gen.max_mel_tokens),
+                                           self._code_buckets())
+            else:
+                cbucket = full_cbucket
             pbuckets = tuple(b for b in cfg.engine.prompt_frame_buckets
                              if b < self.prompt_mel_frames) \
                 + (self.prompt_mel_frames,)
             pbucket = post.pick_bucket(spk["mel_frames"], pbuckets)
             self._rng, sub_d = jax.random.split(self._rng)
             self._rng, sub_s = jax.random.split(self._rng)
-            out = self._segment_pipeline(
-                self.params_gpt_rt, self.fused_pack, self.params_s2mel_rt,
-                self.params["repcodec"], self.params["vocoder"],
-                spk["cond_latents"], emovec, jnp.asarray(text),
-                jnp.asarray([min(text_len, bucket)]),
-                spk["prompt_condition"][:, :pbucket],
-                jnp.asarray([spk["mel_frames"]]),
-                spk["ref_mel"][:, :, :pbucket], spk["style"],
-                jnp.stack([sub_d, sub_s]), gen, cbucket, mbucket,
-                gen.max_mel_tokens)
-            arr = np.asarray(out)
+            while True:
+                out = self._segment_pipeline(
+                    self.params_gpt_rt, self.fused_pack, self.params_s2mel_rt,
+                    self.params["repcodec"], self.params["vocoder"],
+                    spk["cond_latents"], emovec, jnp.asarray(text),
+                    jnp.asarray([min(text_len, bucket)]),
+                    spk["prompt_condition"][:, :pbucket],
+                    jnp.asarray([spk["mel_frames"]]),
+                    spk["ref_mel"][:, :, :pbucket], spk["style"],
+                    jnp.stack([sub_d, sub_s]), gen, cbucket,
+                    self._mel_bucket_for(cbucket),
+                    min(cbucket, gen.max_mel_tokens))
+                arr = np.asarray(out)
+                hit_limit = bool(arr[0, -1, 2])
+                if not (hit_limit and cbucket < full_cbucket):
+                    break
+                # estimate too small for this segment: re-run at the full
+                # bucket (same rng keys -> identical decode prefix)
+                cbucket = full_cbucket
             n_frames = int(arr[0, -1, 0])
             wav_np = arr[0, :-1].reshape(-1)
             timers["pipeline_time"] = (timers.get("pipeline_time", 0.0)
