@@ -61,9 +61,10 @@ def test_fused_pipeline_matches_split():
 
 def test_fused_pipeline_auto_bucket():
     """auto_code_bucket sizes the fused pipeline's code bucket from the text
-    length (instead of max_mel_tokens), retrying once at the full bucket if
-    the decode hits the estimated cap.  With a completed (non-retry) decode
-    the picked bucket matches the split path's, so the wav is exact."""
+    length (instead of max_mel_tokens).  With this seed the tiny greedy
+    decode completes inside the estimated 32 bucket (no retry), which is
+    also the bucket the split path picks from the actual code length — so
+    the wav must be exact."""
     import jax
 
     sr = 22050
@@ -71,7 +72,7 @@ def test_fused_pipeline_auto_bucket():
     prompt = encode_wav_int16(
         (0.4 * np.sin(2 * np.pi * 220 * t)) * 32767, sr)
 
-    def run(fuse):
+    def make(fuse):
         eng = TTSEngine.tiny(seed=0)
         # cap well above the tiny (32, 64) buckets' first rung so the
         # estimate actually picks a smaller bucket than the cap's
@@ -79,14 +80,36 @@ def test_fused_pipeline_auto_bucket():
         eng.cfg.engine.fuse_pipeline = fuse
         eng.cfg.engine.codes_per_text_token = 1.0
         eng._rng = jax.random.PRNGKey(7)
-        res = eng.infer(prompt, "hello.", None, do_sample=False)
-        return res.wav
+        return eng
 
-    w_split = run(False)
-    w_fused = run(True)
-    assert len(w_fused) > 0
-    if len(w_split) == len(w_fused):
-        np.testing.assert_array_equal(w_fused, w_split)
+    eng_f = make(True)
+    calls = []
+    orig = eng_f._segment_pipeline
+    eng_f._segment_pipeline = lambda *a: calls.append(a[-3:]) or orig(*a)
+    w_fused = eng_f.infer(prompt, "hello.", None, do_sample=False).wav
+    assert calls == [(32, eng_f._mel_bucket_for(32), 32)]
+
+    w_split = make(False).infer(prompt, "hello.", None, do_sample=False).wav
+    np.testing.assert_array_equal(w_fused, w_split)
+
+    # forced cap-hit: the host must retry ONCE at the full bucket (fake the
+    # hit_limit metadata flag on the small-bucket dispatch only)
+    eng_r = make(True)
+    seen = []
+    orig_r = eng_r._segment_pipeline
+
+    def fake(*a):
+        cbucket = a[-3]
+        seen.append(cbucket)
+        out = orig_r(*a)
+        if cbucket < 64:
+            out = np.array(out)  # writable copy
+            out[0, -1, 2] = 1  # pretend the decode hit the estimated cap
+        return out
+
+    eng_r._segment_pipeline = fake
+    w_retry = eng_r.infer(prompt, "hello.", None, do_sample=False).wav
+    assert seen == [32, 64] and len(w_retry) > 0
 
 
 def test_engine_emotion_controls():
