@@ -295,5 +295,10 @@ def aa_snake_activation(x: jnp.ndarray, alpha: jnp.ndarray, beta_recip: jnp.ndar
     if use_pallas or interpret:
         # the kernel only compiles on TPU; fall back to interpret elsewhere
         interpret = interpret or jax.default_backend() != "tpu"
+        if x.dtype != jnp.float32:
+            # Mosaic rejects the kernel's sub-f32 reshapes (vector<8x1xbf16>);
+            # the FIR taps are f32 anyway, so compute in f32 and cast back
+            return _aa_snake_pallas(x.astype(jnp.float32), alpha, beta_recip,
+                                    interpret=interpret).astype(x.dtype)
         return _aa_snake_pallas(x, alpha, beta_recip, interpret=interpret)
     return _aa_snake_jnp(x, alpha, beta_recip)
