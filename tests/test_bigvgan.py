@@ -132,3 +132,39 @@ def test_bigvgan_pallas_interpret_parity():
         aa.aa_snake_activation = orig
         bv.aa_snake_activation = orig
     np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_bigvgan_packed_parity():
+    """Packed grouped-conv path == module path, multi-kernel-size stages."""
+    from voice_tts_tpu.models.vocoder.packed import (
+        bigvgan_packed_apply, can_pack, pack_bigvgan)
+
+    cfg = BigVGANConfig(
+        num_mels=12, upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=24, resblock_kernel_sizes=(3, 7, 11),
+        resblock_dilation_sizes=((1, 3, 5),) * 3,
+    )
+    assert can_pack(cfg)
+    model = BigVGAN(cfg, use_pallas=False)
+    rng = np.random.default_rng(7)
+    mel = rng.normal(size=(2, cfg.num_mels, 11)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(5), mel)
+    # move snake params off their init values
+    params = jax.tree.map(lambda x: x + 0.1, params)
+    ref = np.asarray(model.apply(params, mel))
+
+    packed = pack_bigvgan(params, cfg)
+    ours = np.asarray(bigvgan_packed_apply(packed, mel, cfg))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_bigvgan_packed_rejects_mismatched_schedules():
+    from voice_tts_tpu.models.vocoder.packed import can_pack
+
+    cfg = BigVGANConfig(resblock_kernel_sizes=(3, 8),
+                        resblock_dilation_sizes=((1, 3), (1, 3)))
+    assert not can_pack(cfg)
+    cfg = BigVGANConfig(resblock_kernel_sizes=(3, 7),
+                        resblock_dilation_sizes=((1, 3), (1, 5)))
+    assert not can_pack(cfg)

@@ -281,6 +281,14 @@ class EngineConfig:
     # The reference pins s2mel to fp32 (`infer_v2.py:710-711`) — bf16 trades
     # ~2e-3 mel deviation (within the 1e-2 parity budget) for MXU-rate DiT
     use_bf16_s2mel: bool = False
+    # evaluate the 3 parallel AMP resblocks of each vocoder stage as grouped
+    # convs + stacked snake activations (exact; ~3x fewer ops per stage).
+    # Measured 2.8x SLOWER on v5e (118 vs 43 ms at bench shape,
+    # scripts/bench_packed_vocoder.py): XLA lowers feature-grouped convs
+    # poorly on TPU. Kept for A/B on other backends; default off.
+    # Ignored when the config's resblock schedule can't pack
+    # (`packed.can_pack`)
+    use_packed_vocoder: bool = False
     # whole-segment single-dispatch pipeline (decode -> device-side
     # silence trim -> synthesis): zero host round trips mid-segment
     # (sampling path only)

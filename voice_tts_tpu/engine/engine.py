@@ -155,6 +155,15 @@ class TTSEngine:
                 params["s2mel"])
         else:
             self.params_s2mel_rt = params["s2mel"]
+        # packed vocoder: grouped-conv resblocks (op-count-bound stage fix)
+        self._packed_voc = False
+        self.params_voc_rt = params["vocoder"]
+        if cfg.engine.use_packed_vocoder:
+            from voice_tts_tpu.models.vocoder.packed import can_pack, pack_bigvgan
+            if can_pack(cfg.vocoder):
+                self.params_voc_rt = pack_bigvgan(params["vocoder"],
+                                                  cfg.vocoder)
+                self._packed_voc = True
         self._resamplers: Dict[Tuple[int, int], Resampler] = {}
         self._spk_cache: Dict[str, dict] = {}
         self._emo_cache: Dict[str, jnp.ndarray] = {}
@@ -366,7 +375,12 @@ class TTSEngine:
         self._s2mel_chain = s2mel_chain
 
         def vocode_body(voc_params, mel):
-            wav = self.vocoder.apply(voc_params, mel)
+            if self._packed_voc:
+                from voice_tts_tpu.models.vocoder.packed import (
+                    bigvgan_packed_apply)
+                wav = bigvgan_packed_apply(voc_params, mel, cfg.vocoder)
+            else:
+                wav = self.vocoder.apply(voc_params, mel)
             wav = jnp.clip(wav * 32767.0, -32767.0, 32767.0).astype(jnp.int16)
             # (B, frames, hop): both minor dims are tile-aligned, so the
             # device buffer carries no padding — (B, 1, T) int16 would pad the
@@ -880,7 +894,7 @@ class TTSEngine:
             self.params_s2mel_rt, self.params["repcodec"], latent,
             jnp.asarray(codes), jnp.asarray(clens), prompt_condition,
             mel_frames, ref_mel, style, sub, cbucket, mbucket)
-        wav = np.asarray(self._vocode(self.params["vocoder"], mel))
+        wav = np.asarray(self._vocode(self.params_voc_rt, mel))
         tls = np.asarray(target_len)
         hop = cfg.mel.hop_size
         for i, job in enumerate(jobs):
@@ -923,7 +937,7 @@ class TTSEngine:
             while True:
                 out = self._segment_pipeline(
                     self.params_gpt_rt, self.fused_pack, self.params_s2mel_rt,
-                    self.params["repcodec"], self.params["vocoder"],
+                    self.params["repcodec"], self.params_voc_rt,
                     spk["cond_latents"], emovec, jnp.asarray(text),
                     jnp.asarray([min(text_len, bucket)]),
                     spk["prompt_condition"][:, :pbucket],
@@ -995,7 +1009,7 @@ class TTSEngine:
             t0 = time.perf_counter()
             wav, target_len = self._synth_chain(
                 self.params_gpt_rt, self.params_s2mel_rt,
-                self.params["repcodec"], self.params["vocoder"],
+                self.params["repcodec"], self.params_voc_rt,
                 spk["cond_latents"], emovec, jnp.asarray(text),
                 jnp.asarray([min(text_len, bucket)]), jnp.asarray(codes),
                 jnp.asarray([code_len]), prompt_condition,
@@ -1026,7 +1040,7 @@ class TTSEngine:
 
             # --- vocoder
             t0 = time.perf_counter()
-            wav = self._vocode(self.params["vocoder"], mel)
+            wav = self._vocode(self.params_voc_rt, mel)
             wav_np = np.asarray(wav)[0].reshape(-1)
             timers["bigvgan_time"] += time.perf_counter() - t0
 

@@ -87,6 +87,9 @@ class BigVGAN(nn.Module):
 
     cfg: BigVGANConfig
     use_pallas: Optional[bool] = None
+    # profiling aid: stop after the first `num_stages` upsample stages
+    # (None = full model); output is then the intermediate activation
+    num_stages: Optional[int] = None
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
@@ -98,6 +101,8 @@ class BigVGAN(nn.Module):
 
         ch = cfg.upsample_initial_channel
         for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+            if self.num_stages is not None and i >= self.num_stages:
+                return x
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
             x = ConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2,
                                 name=f"ups_{i}")(x)
