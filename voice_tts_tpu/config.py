@@ -289,6 +289,13 @@ class EngineConfig:
     # Ignored when the config's resblock schedule can't pack
     # (`packed.can_pack`)
     use_packed_vocoder: bool = False
+    # fused Pallas resblock-stage kernels for the late (C <= 192) vocoder
+    # stages: one kernel per stage instead of ~300 XLA ops (the vocoder is
+    # op-count-bound, see ops/fused_vocoder.py). Interior-exact; the
+    # outermost ~80 stage-samples per signal edge see zero- instead of
+    # replicate-padded activations. Batch-1 graphs only (batched serving
+    # keeps the module path). TPU only; ignored elsewhere
+    use_fused_vocoder: bool = False
     # whole-segment single-dispatch pipeline (decode -> device-side
     # silence trim -> synthesis): zero host round trips mid-segment
     # (sampling path only)

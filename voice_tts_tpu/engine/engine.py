@@ -157,6 +157,7 @@ class TTSEngine:
             self.params_s2mel_rt = params["s2mel"]
         # packed vocoder: grouped-conv resblocks (op-count-bound stage fix)
         self._packed_voc = False
+        self._fused_voc = False
         self.params_voc_rt = params["vocoder"]
         if cfg.engine.use_packed_vocoder:
             from voice_tts_tpu.models.vocoder.packed import can_pack, pack_bigvgan
@@ -164,6 +165,20 @@ class TTSEngine:
                 self.params_voc_rt = pack_bigvgan(params["vocoder"],
                                                   cfg.vocoder)
                 self._packed_voc = True
+        elif cfg.engine.use_fused_vocoder and jax.default_backend() == "tpu":
+            # fused resblock-stage Pallas kernels for the late (C <= 192)
+            # stages; packs ride along with the param tree so every jitted
+            # graph receives them as ARGUMENTS (closing over them would bake
+            # the weights into the serialized HLO)
+            from voice_tts_tpu.ops.fused_vocoder import (fused_stage_plan,
+                                                         pack_fused_stages)
+            if any(fused_stage_plan(cfg.vocoder)):
+                packs = jax.jit(
+                    lambda p: pack_fused_stages(p, cfg.vocoder))(
+                        params["vocoder"])
+                self.params_voc_rt = {"tree": params["vocoder"],
+                                      "packs": packs}
+                self._fused_voc = True
         self._resamplers: Dict[Tuple[int, int], Resampler] = {}
         self._spk_cache: Dict[str, dict] = {}
         self._emo_cache: Dict[str, jnp.ndarray] = {}
@@ -206,8 +221,11 @@ class TTSEngine:
         return cls(cfg, params, tokenizer, extras)
 
     @classmethod
-    def tiny(cls, seed: int = 0) -> "TTSEngine":
-        """Miniature random-weight engine (CPU-friendly smoke tests)."""
+    def tiny(cls, seed: int = 0, **engine_overrides) -> "TTSEngine":
+        """Miniature random-weight engine (CPU-friendly smoke tests).
+
+        `engine_overrides` set `cfg.engine` fields BEFORE construction
+        (needed for flags consumed in `__init__`, e.g. vocoder variants)."""
         cfg = TTSConfig.tiny()
         cfg.engine.max_prompt_seconds = 1.0
         cfg.generation.max_mel_tokens = 24
@@ -224,6 +242,10 @@ class TTSEngine:
         cfg.s2mel.dit.style_dim = cfg.campplus.embedding_size
         cfg.s2mel.wavenet.hidden_dim = cfg.s2mel.dit.hidden_dim
         cfg.vocoder.num_mels = cfg.mel.num_mels
+        for k, v in engine_overrides.items():
+            if not hasattr(cfg.engine, k):
+                raise AttributeError(f"unknown engine config field: {k}")
+            setattr(cfg.engine, k, v)
         return cls.random(cfg, seed=seed)
 
     @classmethod
@@ -379,6 +401,11 @@ class TTSEngine:
                 from voice_tts_tpu.models.vocoder.packed import (
                     bigvgan_packed_apply)
                 wav = bigvgan_packed_apply(voc_params, mel, cfg.vocoder)
+            elif self._fused_voc:
+                from voice_tts_tpu.ops.fused_vocoder import bigvgan_fused_apply
+                wav = bigvgan_fused_apply(voc_params["tree"],
+                                          voc_params["packs"], mel,
+                                          cfg.vocoder)
             else:
                 wav = self.vocoder.apply(voc_params, mel)
             wav = jnp.clip(wav * 32767.0, -32767.0, 32767.0).astype(jnp.int16)
