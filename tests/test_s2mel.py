@@ -161,3 +161,30 @@ def test_cfm_solve_parity(ref_model):
         jnp.asarray(style), None, steps, 0.7, noise=jnp.asarray(noise)))
     assert ours.shape == ref_out.shape
     np.testing.assert_allclose(ours, ref_out, atol=2e-4, rtol=1e-3)
+
+
+def test_cfm_step_tables_match_inline(ref_model):
+    """Hoisted timestep tables == per-step inline projections (same params,
+    same math, batched once) — exact to f32 noise."""
+    _, params = ref_model
+    model = S2Mel(CFG)
+    rng = np.random.default_rng(4)
+    b, t, prompt_len, steps = 1, 17, 6, 4
+    noise = rng.normal(size=(b, 8, t)).astype(np.float32)
+    mu = rng.normal(size=(b, t, 16)).astype(np.float32)
+    style = rng.normal(size=(b, 12)).astype(np.float32)
+    prompt_full = rng.normal(size=(b, 8, t)).astype(np.float32)
+
+    def dit_apply(p, *a):
+        return model.apply(p, *a, method=S2Mel.velocity)
+
+    args = (dit_apply, params, jnp.asarray(mu), jnp.asarray([t]),
+            jnp.asarray(prompt_full), jnp.asarray([prompt_len]),
+            jnp.asarray(style), None, steps, 0.7)
+    plain = np.asarray(cfm_inference(*args, noise=jnp.asarray(noise)))
+
+    t_mids = jnp.linspace(0.0, 1.0, steps + 1)[:steps]
+    tables = model.apply(params, t_mids, method=S2Mel.step_tables)
+    hoisted = np.asarray(cfm_inference(*args, noise=jnp.asarray(noise),
+                                       tables=tables))
+    np.testing.assert_allclose(hoisted, plain, atol=1e-6, rtol=1e-6)

@@ -122,6 +122,16 @@ class DiTConfig:
     # overhead dominates; the score tensor is only ~16 MB) — keep for
     # long-context DiT configs (t >~ 4k), off by default
     flash_attention: bool = False
+    # whole-sequence VMEM Pallas attention (ops/cfm_attention.py): one grid
+    # program per (batch, head) holds the full (T, T) f32 score tile in
+    # VMEM — no HBM score traffic, no flash-grid overhead. Built for the
+    # CFM serving shapes (T <= ~1.5k); TPU only, einsum elsewhere.
+    # Takes precedence over flash_attention when both are set.  Measured
+    # SLOWER than the XLA einsum at serving shapes (velocity eval 2.37 vs
+    # 1.93 ms; 25-step CFM 62.5 vs 46.8 ms at B=2/T=704 on v5e) — XLA's
+    # fused attention already keeps the 16 MB score block on-chip here.
+    # Kept opt-in for possible long-T DiT configs
+    fused_attention: bool = False
 
 
 @dataclass(eq=False)

@@ -369,7 +369,7 @@ class TTSEngine:
                                                 cond, target_len, total_max)
             prompt_x = place_prompt_mel(ref_mel, prompt_len, total_max)
 
-            def dit_apply(p, x, prompt_x, lens, t, style_v, mu):
+            def dit_apply(p, x, prompt_x, lens, t, style_v, mu, tab):
                 # compute dtype follows the param tree (bf16 runtime tree
                 # under use_bf16_s2mel); CFM state x stays f32 in the caller
                 dt = jax.tree.leaves(p)[0].dtype
@@ -377,13 +377,19 @@ class TTSEngine:
                     return a.astype(dt) if jnp.issubdtype(a.dtype, jnp.floating) else a
                 v = self.s2mel.apply(p, conv(x), conv(prompt_x), lens,
                                      t, conv(style_v), conv(mu),
-                                     method=S2Mel.velocity)
+                                     tables=tab, method=S2Mel.velocity)
                 return v.astype(jnp.float32)
 
+            # hoist every timestep-dependent projection out of the Euler
+            # scan: one batched evaluation over the whole step schedule
+            n_steps = cfg.engine.diffusion_steps
+            t_mids = jnp.linspace(0.0, 1.0, n_steps + 1)[:n_steps]
+            tables = self.s2mel.apply(s2_params, t_mids,
+                                      method=S2Mel.step_tables)
             mel = cfm_inference(dit_apply, s2_params, cat, total_len, prompt_x,
                                 prompt_len, style, rng,
-                                cfg.engine.diffusion_steps,
-                                cfg.engine.inference_cfg_rate)
+                                n_steps,
+                                cfg.engine.inference_cfg_rate, tables=tables)
             return slice_generated(mel, prompt_len, mel_bucket), target_len
 
         @partial(jax.jit, static_argnames=("code_bucket", "mel_bucket"))

@@ -18,12 +18,17 @@ def cfm_inference(dit_apply, params, mu: jnp.ndarray, x_len: jnp.ndarray,
                   prompt: jnp.ndarray, prompt_len: jnp.ndarray,
                   style: jnp.ndarray, rng: Optional[jax.Array], n_steps: int,
                   cfg_rate: float, temperature: float = 1.0,
-                  noise: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                  noise: Optional[jnp.ndarray] = None,
+                  tables=None) -> jnp.ndarray:
     """mu (B, T, D) regulated condition; prompt (B, 80, T) mel with the
     reference mel placed at [:prompt_len] (already zero elsewhere);
     x_len (B,) total valid frames.  Returns mel (B, 80, T).
 
     `noise` overrides the random init (deterministic parity tests).
+    `tables` (optional): `DiT.step_tables(t_span[:-1])` pytree with leading
+    axis n_steps — the scan slices it per step and `dit_apply` must accept
+    and forward the extra per-step slice, which skips the timestep
+    projections inside the scan body (they are batched once up front).
     """
     b, t, _ = mu.shape
     n_mels = prompt.shape[1]
@@ -38,7 +43,8 @@ def cfm_inference(dit_apply, params, mu: jnp.ndarray, x_len: jnp.ndarray,
 
     t_span = jnp.linspace(0.0, 1.0, n_steps + 1)
 
-    def step(x, i):
+    def step(x, inp):
+        i, tab = inp
         t_cur = t_span[i]
         dt = t_span[i + 1] - t_span[i]
         if cfg_rate > 0:
@@ -48,15 +54,15 @@ def cfm_inference(dit_apply, params, mu: jnp.ndarray, x_len: jnp.ndarray,
             m2 = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
             l2 = jnp.concatenate([x_len, x_len], axis=0)
             t2 = jnp.full((2 * b,), t_cur)
-            v2 = dit_apply(params, x2, p2, l2, t2, s2, m2)
+            v2 = dit_apply(params, x2, p2, l2, t2, s2, m2, tab)
             v, v_null = jnp.split(v2, 2, axis=0)
             v = (1.0 + cfg_rate) * v - cfg_rate * v_null
         else:
             v = dit_apply(params, x, prompt, x_len, jnp.full((b,), t_cur),
-                          style, mu)
+                          style, mu, tab)
         x = x + dt * v
         x = jnp.where(prompt_mask, 0.0, x)
         return x, None
 
-    x, _ = jax.lax.scan(step, x, jnp.arange(n_steps))
+    x, _ = jax.lax.scan(step, x, (jnp.arange(n_steps), tables))
     return x

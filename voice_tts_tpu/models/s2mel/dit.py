@@ -8,6 +8,15 @@ masking, long skip connection, WaveNet final head.
 
 Dead-at-inference reference pieces (x_embedder, cond_embedder for discrete
 content, content_mask_embedder, class dropout) are omitted.
+
+The CFM Euler solve re-evaluates this estimator 25x with only (x, t)
+changing.  All timestep-dependent projections (both timestep-embedder MLPs,
+every block's two AdaLN projections, the transformer-norm and final-layer
+modulations) are therefore exposed via `step_tables(t_span)`: one batched
+evaluation over the whole step schedule, whose per-step slices `__call__`
+accepts via `tables=` to skip those projections inside the scan body
+(`models/s2mel/cfm.py`).  Numerics are identical — the same params applied
+to the same t values, just batched over steps.
 """
 
 from __future__ import annotations
@@ -52,34 +61,65 @@ def apply_rope(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
 
 class AdaptiveRMSNorm(nn.Module):
     """weight * RMSNorm(x) + bias, (weight, bias) from the time embedding
-    (reference `gpt_fast/model.py:20-38`)."""
+    (reference `gpt_fast/model.py:20-38`).  `project` is exposed separately
+    so the CFM loop can batch it over all timesteps (`DiT.step_tables`)."""
 
     dim: int
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
-        proj = Linear(2 * self.dim, name="project_layer")(c)  # (B, 1, 2D)
-        weight, bias = jnp.split(proj, 2, axis=-1)
-        return weight * RMSNorm(name="norm")(x) + bias
+    def setup(self):
+        self.project_layer = Linear(2 * self.dim)
+        self.norm = RMSNorm()
+
+    def project(self, c: jnp.ndarray) -> jnp.ndarray:
+        return self.project_layer(c)
+
+    def __call__(self, x: jnp.ndarray, c: Optional[jnp.ndarray] = None,
+                 wb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        if wb is None:
+            wb = self.project(c)
+        weight, bias = jnp.split(wb.astype(x.dtype), 2, axis=-1)
+        return weight * self.norm(x) + bias
 
 
 class DiTBlock(nn.Module):
     cfg: DiTConfig
 
-    @nn.compact
-    def __call__(self, x, c, freqs, mask):
+    def setup(self):
+        d = self.cfg.hidden_dim
+        self.attention_norm = AdaptiveRMSNorm(d)
+        self.wqkv = Linear(3 * d, use_bias=False)
+        self.wo = Linear(d, use_bias=False)
+        self.ffn_norm = AdaptiveRMSNorm(d)
+        inner = find_multiple(int(2 * 4 * d / 3), 256)
+        self.w1 = Linear(inner, use_bias=False)
+        self.w3 = Linear(inner, use_bias=False)
+        self.w2 = Linear(d, use_bias=False)
+
+    def __call__(self, x, c, freqs, mask, x_lens=None, tables=None):
         d = self.cfg.hidden_dim
         h = self.cfg.num_heads
         hd = d // h
         b, t, _ = x.shape
+        wb_attn, wb_ffn = tables if tables is not None else (None, None)
 
-        y = AdaptiveRMSNorm(d, name="attention_norm")(x, c)
-        qkv = Linear(3 * d, use_bias=False, name="wqkv")(y)
+        y = self.attention_norm(x, c, wb=wb_attn)
+        qkv = self.wqkv(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = apply_rope(q.reshape(b, t, h, hd), freqs)
         k = apply_rope(k.reshape(b, t, h, hd), freqs)
         v = v.reshape(b, t, h, hd)
-        if self.cfg.flash_attention and jax.default_backend() == "tpu":
+        if (self.cfg.fused_attention and x_lens is not None
+                and jax.default_backend() == "tpu"):
+            # whole-sequence VMEM attention: zero HBM score traffic (the
+            # einsum path's f32 score tensor is the dominant CFM-step cost)
+            from voice_tts_tpu.ops.cfm_attention import cfm_attention
+
+            out = cfm_attention(jnp.transpose(q, (0, 2, 1, 3)),
+                                jnp.transpose(k, (0, 2, 1, 3)),
+                                jnp.transpose(v, (0, 2, 1, 3)),
+                                x_lens, 1.0 / math.sqrt(hd))
+            attn = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, d)
+        elif self.cfg.flash_attention and jax.default_backend() == "tpu":
             # Pallas flash attention: never materializes the (B,H,T,T)
             # score tensor (the einsum path writes+reads it twice per block
             # — the dominant HBM traffic of a CFM step).  Padded key
@@ -114,13 +154,10 @@ class DiTBlock(nn.Module):
                                jnp.finfo(jnp.float32).min)
             probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
             attn = jnp.einsum("bhij,bjhd->bihd", probs, v).reshape(b, t, d)
-        x = x + Linear(d, use_bias=False, name="wo")(attn)
+        x = x + self.wo(attn)
 
-        y = AdaptiveRMSNorm(d, name="ffn_norm")(x, c)
-        inner = find_multiple(int(2 * 4 * d / 3), 256)
-        gate = nn.silu(Linear(inner, use_bias=False, name="w1")(y))
-        up = Linear(inner, use_bias=False, name="w3")(y)
-        x = x + Linear(d, use_bias=False, name="w2")(gate * up)
+        y = self.ffn_norm(x, c, wb=wb_ffn)
+        x = x + self.w2(nn.silu(self.w1(y)) * self.w3(y))
         return x
 
 
@@ -144,20 +181,29 @@ class TimestepEmbedder(nn.Module):
 
 class FinalLayer(nn.Module):
     """adaLN-modulated LayerNorm + linear (reference
-    `diffusion_transformer.py:87-101`)."""
+    `diffusion_transformer.py:87-101`).  `modulation` exposed separately
+    for `DiT.step_tables`."""
 
     hidden: int
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
-        mod = Linear(2 * self.hidden, name="adaLN_1")(nn.silu(c))
-        shift, scale = jnp.split(mod, 2, axis=-1)
+    def setup(self):
+        self.adaLN_1 = Linear(2 * self.hidden)
+        self.linear = Linear(self.hidden)
+
+    def modulation(self, c: jnp.ndarray) -> jnp.ndarray:
+        return self.adaLN_1(nn.silu(c))
+
+    def __call__(self, x: jnp.ndarray, c: Optional[jnp.ndarray] = None,
+                 mod: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        if mod is None:
+            mod = self.modulation(c)
+        shift, scale = jnp.split(mod.astype(x.dtype), 2, axis=-1)
         xf = x.astype(jnp.float32)  # LN stats in f32 (bf16 path)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
         y = ((xf - mean) * jax.lax.rsqrt(var + 1e-6)).astype(x.dtype)
         y = y * (1 + scale[:, None, :]) + shift[:, None, :]
-        return Linear(self.hidden, name="linear")(y)
+        return self.linear(y)
 
 
 class DiT(nn.Module):
@@ -169,25 +215,67 @@ class DiT(nn.Module):
     """
 
     cfg: DiTConfig
-    wavenet: WaveNetConfig
+    wavenet_cfg: WaveNetConfig
 
-    @nn.compact
-    def __call__(self, x, prompt_x, x_lens, t, style, cond):
+    def setup(self):
+        c = self.cfg
+        w = self.wavenet_cfg
+        self.t_embedder = TimestepEmbedder(c.hidden_dim)
+        self.cond_projection = Linear(c.hidden_dim)
+        self.cond_x_merge_linear = Linear(c.hidden_dim)
+        for i in range(c.depth):
+            setattr(self, f"block_{i}", DiTBlock(c))
+        self.transformer_norm = AdaptiveRMSNorm(c.hidden_dim)
+        if c.long_skip_connection:
+            self.skip_linear = Linear(c.hidden_dim)
+        self.t_embedder2 = TimestepEmbedder(w.hidden_dim)
+        self.conv1 = Linear(w.hidden_dim)
+        self.wavenet = WN(w)
+        self.res_projection = Linear(w.hidden_dim)
+        self.final_layer = FinalLayer(w.hidden_dim)
+        self.conv2 = Conv1d(c.in_channels, 1)
+
+    def step_tables(self, t_span: jnp.ndarray):
+        """Batch every timestep-dependent projection over a step schedule.
+
+        t_span (S,) -> pytree whose leaves have leading axis S; a
+        `lax.scan` over it feeds `__call__(tables=...)` per-step slices.
+        Shapes carry a broadcast batch dim of 1 (all batch rows share t)."""
+        c = self.cfg
+        t1 = self.t_embedder(t_span)                      # (S, D)
+        t2 = self.t_embedder2(t_span)                     # (S, wD)
+        ce = t1[:, None, :]                               # (S, 1, D)
+        blocks = tuple(
+            (getattr(self, f"block_{i}").attention_norm.project(ce),
+             getattr(self, f"block_{i}").ffn_norm.project(ce))
+            for i in range(c.depth))
+        return {
+            "t1": t1[:, None, :],                         # -> (1, D)
+            "t2": t2[:, None, :],                         # -> (1, wD)
+            "blocks": blocks,                             # -> (1, 1, 2D)
+            "norm": self.transformer_norm.project(ce),    # -> (1, 1, 2D)
+            "final": self.final_layer.modulation(t1)[:, None, :],
+        }
+
+    def __call__(self, x, prompt_x, x_lens, t, style, cond, tables=None):
         c = self.cfg
         b, _, tlen = x.shape
 
         # compute dtype follows the (possibly bf16) inputs; the timestep
         # embedding must come back down to it or every adaLN projection —
         # and through them every matmul — silently promotes to f32
-        t1 = TimestepEmbedder(c.hidden_dim, name="t_embedder")(t).astype(x.dtype)
-        cond = Linear(c.hidden_dim, name="cond_projection")(cond)
+        if tables is None:
+            t1 = self.t_embedder(t).astype(x.dtype)
+        else:
+            t1 = tables["t1"].astype(x.dtype)
+        cond = self.cond_projection(cond)
 
         xt = jnp.transpose(x, (0, 2, 1))
         pt = jnp.transpose(prompt_x, (0, 2, 1))
         x_in = jnp.concatenate(
             [xt, pt, cond, jnp.broadcast_to(style[:, None, :],
                                             (b, tlen, style.shape[-1]))], axis=-1)
-        h = Linear(c.hidden_dim, name="cond_x_merge_linear")(x_in)
+        h = self.cond_x_merge_linear(x_in)
 
         mask = (jnp.arange(tlen)[None, :] < x_lens[:, None])  # (B, T)
         attn_mask = jnp.broadcast_to(mask[:, None, :], (b, tlen, tlen))
@@ -196,22 +284,27 @@ class DiT(nn.Module):
                                        c.rope_base))
         c_emb = t1[:, None, :]
         for i in range(c.depth):
-            h = DiTBlock(c, name=f"block_{i}")(h, c_emb, freqs, attn_mask)
-        h = AdaptiveRMSNorm(c.hidden_dim, name="transformer_norm")(h, c_emb)
+            h = getattr(self, f"block_{i}")(
+                h, c_emb, freqs, attn_mask, x_lens,
+                tables["blocks"][i] if tables is not None else None)
+        h = self.transformer_norm(
+            h, c_emb, wb=tables["norm"] if tables is not None else None)
 
         if c.long_skip_connection:
-            h = Linear(c.hidden_dim, name="skip_linear")(
-                jnp.concatenate([h, xt], axis=-1))
+            h = self.skip_linear(jnp.concatenate([h, xt], axis=-1))
 
         # wavenet final head
-        w = self.wavenet
-        t2 = TimestepEmbedder(w.hidden_dim, name="t_embedder2")(t).astype(x.dtype)
-        y = Linear(w.hidden_dim, name="conv1")(h)
+        if tables is None:
+            t2 = self.t_embedder2(t).astype(x.dtype)
+        else:
+            t2 = tables["t2"].astype(x.dtype)
+        y = self.conv1(h)
         y = jnp.transpose(y, (0, 2, 1))
         x_mask = mask[:, None, :].astype(y.dtype)
-        y = WN(w, name="wavenet")(y, x_mask, g=t2[:, :, None])
-        y = jnp.transpose(y, (0, 2, 1)) + Linear(w.hidden_dim,
-                                                 name="res_projection")(h)
-        y = FinalLayer(w.hidden_dim, name="final_layer")(y, t1)
+        g = jnp.broadcast_to(t2[:, :, None], (b, t2.shape[-1], 1))
+        y = self.wavenet(y, x_mask, g=g)
+        y = jnp.transpose(y, (0, 2, 1)) + self.res_projection(h)
+        y = self.final_layer(
+            y, t1, mod=tables["final"] if tables is not None else None)
         y = jnp.transpose(y, (0, 2, 1))
-        return Conv1d(c.in_channels, 1, name="conv2")(y)
+        return self.conv2(y)

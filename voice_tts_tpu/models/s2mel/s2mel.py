@@ -49,8 +49,14 @@ class S2Mel(nn.Module):
                  target_len: jnp.ndarray, out_max: int) -> jnp.ndarray:
         return self.length_regulator(s, src_len, target_len, out_max)
 
-    def velocity(self, x, prompt_x, x_lens, t, style, mu):
-        return self.estimator(x, prompt_x, x_lens, t, style, mu)
+    def velocity(self, x, prompt_x, x_lens, t, style, mu, tables=None):
+        return self.estimator(x, prompt_x, x_lens, t, style, mu,
+                              tables=tables)
+
+    def step_tables(self, t_span):
+        """Batched timestep-dependent projections for the CFM scan
+        (see `DiT.step_tables`)."""
+        return self.estimator.step_tables(t_span)
 
     def __call__(self, s, src_len, target_len, out_max, x, prompt_x, x_lens,
                  t, style, latent):
