@@ -49,6 +49,8 @@ def build_engine(tiny: bool):
     # int4 (g128) megakernel tiles — default OFF: RTN int4 is a quality
     # trade that needs validation on real checkpoints (A/B: INT4_DECODE=1)
     cfg.engine.use_int4_decode = os.environ.get("INT4_DECODE", "0") == "1"
+    # int8 KV cache in the megakernel (per-position scales)
+    cfg.engine.use_int8_kv = os.environ.get("INT8_KV", "0") == "1"
     # bf16 s2mel/DiT compute (f32 softmax/LN stats); measured perf-neutral
     # at bench shapes (DiT is op-overhead-bound, not MXU-bound) — default off
     # to keep the reference's fp32 s2mel numerics

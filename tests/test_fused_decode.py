@@ -255,6 +255,72 @@ def test_int4_full_decode_runs(setup):
     assert codes.min() >= 0 and codes.max() < CFG.number_mel_codes
 
 
+def test_int8_kv_roundtrip_and_step(setup):
+    """quantize_kv_cache dequantizes within scale/2 per element, and the
+    int8-KV fused step tracks the f32-cache fused step closely."""
+    from voice_tts_tpu.ops.fused_decode import (apply_kv_update_q,
+                                                quantize_kv_cache)
+
+    model, qparams, pack = setup
+    p, t_max, valid, logits0, cache = _prefill(model, qparams)
+    bias = jnp.where(valid[0, :, None], 0.0, -1e30).astype(jnp.float32)
+    cache_tm = cache_to_time_major(cache)
+
+    qc, scales = quantize_kv_cache(cache_tm)
+    assert qc.dtype == jnp.int8 and scales.shape == (CFG.layers, t_max, 2)
+    deq = (np.asarray(qc, np.float32)
+           * np.asarray(scales, np.float32).transpose(0, 2, 1)[:, :, None, :, None])
+    orig = np.asarray(cache_tm, np.float32)
+    bound = np.asarray(scales, np.float32).transpose(0, 2, 1)[:, :, None, :, None]
+    assert (np.abs(deq - orig) <= bound * 0.5 * (1 + 1e-5) + 1e-8).all()
+
+    tok = jnp.asarray([3], jnp.int32)
+    step = jnp.asarray(1)
+    emb = model.apply(qparams, tok, step - 1,
+                      method=UnifiedVoice.embed_decode_token)
+    hid_f, kv_f = fused_decode_step(emb, pack, cache_tm, bias, p + step,
+                                    CFG.heads, interpret=True)
+    hid_q, kv_q = fused_decode_step(emb, pack, qc, bias, p + step, CFG.heads,
+                                    interpret=True, kv_scales=scales)
+    assert kv_q.dtype == jnp.float32
+    hf = np.asarray(hid_f, np.float32)
+    hq = np.asarray(hid_q, np.float32)
+    np.testing.assert_allclose(hq, hf, rtol=0, atol=0.05 * np.abs(hf).max())
+    # the new-token rows are computed from full-precision inputs both ways
+    np.testing.assert_allclose(np.asarray(kv_q), np.asarray(kv_f, np.float32),
+                               rtol=0.05, atol=0.05)
+
+    qc2, sc2 = apply_kv_update_q(qc, scales, kv_q, p + step)
+    row = (np.asarray(qc2[:, :, 0, p + 1, :], np.float32)
+           * np.asarray(sc2[:, p + 1, :], np.float32).transpose(0, 1)[:, :, None])
+    np.testing.assert_allclose(row, np.asarray(kv_q, np.float32),
+                               rtol=0, atol=np.asarray(
+                                   sc2[:, p + 1, :]).max() * 0.51 + 1e-8)
+
+
+def test_int8_kv_full_decode_greedy(setup):
+    """decode(int8_kv=True) reproduces the f32-cache fused greedy codes on
+    the tiny model (KV8 error ≪ the greedy decision margins here)."""
+    model, qparams, pack = setup
+    gen = GenerationConfig(do_sample=False, num_beams=1,
+                           repetition_penalty=10.0)
+    cond = jax.random.normal(jax.random.PRNGKey(1),
+                             (1, CFG.condition_num_latent, CFG.model_dim),
+                             jnp.bfloat16)
+    emo = jax.random.normal(jax.random.PRNGKey(2), (1, CFG.model_dim),
+                            jnp.bfloat16)
+    text = jnp.asarray([[3, 5, 7, 2, 9, 4, 0, 0]], dtype=jnp.int32)
+    tlen = jnp.asarray([6])
+    rng = jax.random.PRNGKey(3)
+
+    res_f = decode(qparams, model, gen, cond, emo, text, tlen, rng, 12,
+                   fused_pack=pack)
+    res_q = decode(qparams, model, gen, cond, emo, text, tlen, rng, 12,
+                   fused_pack=pack, int8_kv=True)
+    np.testing.assert_array_equal(np.asarray(res_q.codes),
+                                  np.asarray(res_f.codes))
+
+
 def test_fused_full_decode_greedy(setup):
     """Full decode() with fused_pack produces the same greedy codes as the
     XLA int8 path (tiny model, short horizon)."""

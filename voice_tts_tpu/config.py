@@ -283,6 +283,15 @@ class EngineConfig:
     # unpack cost). RTN int4 is a real quality trade — validate on real
     # checkpoints before enabling in production; prefill/latent stay int8
     use_int4_decode: bool = False
+    # int8 KV cache inside the megakernel (per-position scales, dequant in
+    # VMEM): halves the prefix DMA, which grows with context while weight
+    # traffic stays flat.  Standard production KV8 — far milder than int4
+    # weights (prefill/current-token math stays full precision).  Measured
+    # NEUTRAL at bench context (~341 max positions: RTF 0.0744 vs 0.0737 —
+    # the VPU dequant offsets the DMA saved on 1-2 cache blocks); the DMA
+    # saving scales with prefix length, so enable for long-context configs
+    # (max_mel_tokens ~1500, where late steps read 6 blocks/layer)
+    use_int8_kv: bool = False
     # run teacher-forced latent + s2mel + vocoder as ONE jitted graph with a
     # single host sync (each extra sync costs a round trip on remote-attached
     # chips); per-stage timers require fuse_synthesis=False

@@ -484,7 +484,8 @@ class TTSEngine:
             rng_d, rng_s = rng[0], rng[1]
             res = gpt_decode(gpt_params, self.gpt, gen, cond, emovec, text,
                              text_len, rng_d, max_new=max_new,
-                             fused_pack=fused_pack)
+                             fused_pack=fused_pack,
+                             int8_kv=cfg.engine.use_int8_kv)
             # stop token excluded unless the row never produced one
             # (reference `infer_v2.py:676-687`)
             code_len0 = jnp.maximum(
@@ -857,7 +858,8 @@ class TTSEngine:
             res = gpt_decode(self.params_gpt_rt, self.gpt, gen, cond, emo,
                              jnp.asarray(text), jnp.asarray(lens), sub,
                              max_new=gen.max_mel_tokens,
-                             fused_pack=self.fused_pack)
+                             fused_pack=self.fused_pack,
+                             int8_kv=self.cfg.engine.use_int8_kv)
         elif len(jobs) == 1:
             res = beam_decode(self.params_gpt_rt, self.gpt, gen, cond, emo,
                               jnp.asarray(text), jnp.asarray(lens), sub,
@@ -1000,7 +1002,8 @@ class TTSEngine:
                              spk["cond_latents"], emovec, jnp.asarray(text),
                              jnp.asarray([min(text_len, bucket)]), sub,
                              max_new=gen.max_mel_tokens,
-                             fused_pack=self.fused_pack)
+                             fused_pack=self.fused_pack,
+                             int8_kv=self.cfg.engine.use_int8_kv)
         else:
             res = beam_decode(self.params_gpt_rt, self.gpt, gen,
                               spk["cond_latents"], emovec, jnp.asarray(text),

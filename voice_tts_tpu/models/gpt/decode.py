@@ -23,8 +23,10 @@ import jax.numpy as jnp
 from voice_tts_tpu.config import GPTConfig, GenerationConfig
 from voice_tts_tpu.models.gpt.unified_voice import UnifiedVoice
 from voice_tts_tpu.ops.fused_decode import (FusedDecodePack, apply_kv_update,
+                                            apply_kv_update_q,
                                             cache_to_time_major,
                                             fused_decode_step,
+                                            quantize_kv_cache,
                                             BLOCK_T as FUSED_BLOCK_T)
 
 
@@ -140,12 +142,14 @@ class _LoopState(NamedTuple):
     rng: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("model", "gen", "max_new"))
+@functools.partial(jax.jit,
+                   static_argnames=("model", "gen", "max_new", "int8_kv"))
 def decode(params, model: UnifiedVoice, gen: GenerationConfig,
            cond_latents: jnp.ndarray, emo_vec: jnp.ndarray,
            text_tokens: jnp.ndarray, text_lengths: jnp.ndarray,
            rng: jax.Array, max_new: int,
-           fused_pack: Optional[FusedDecodePack] = None) -> DecodeResult:
+           fused_pack: Optional[FusedDecodePack] = None,
+           int8_kv: bool = False) -> DecodeResult:
     """Greedy/sampling AR decode (num_beams=1 path).
 
     text_tokens (B, bucket_len) right-padded; returns up to `max_new` codes.
@@ -153,11 +157,14 @@ def decode(params, model: UnifiedVoice, gen: GenerationConfig,
     decode; logits/sampling stay fp32).  When `fused_pack` is given (int8
     tiles from `ops.fused_decode.pack_gpt`) and batch == 1, each step runs
     the single-Pallas-call trunk megakernel instead of the XLA stack.
+    `int8_kv` (fused path only) stores the KV cache int8 with per-position
+    scales — halves the prefix DMA that dominates late decode steps.
     """
     cfg: GPTConfig = model.cfg
     b, bl = text_tokens.shape
     use_fused = (fused_pack is not None and b == 1
                  and not cfg.pallas_decode_attention)
+    int8_kv = int8_kv and use_fused
     p = cfg.condition_num_latent + 2 + bl + 2  # conds(34) + start/text/stop
     t_max = p + 1 + max_new
     if cfg.pallas_decode_attention:
@@ -204,16 +211,22 @@ def decode(params, model: UnifiedVoice, gen: GenerationConfig,
         # (Tmax, 1) additive mask over cache positions (batch == 1)
         attn_bias = jnp.where(valid[0, :, None], 0.0, -1e30).astype(jnp.float32)
         cache = cache_to_time_major(cache)
+        if int8_kv:
+            cache = quantize_kv_cache(cache)  # (int8 cache, scales) pair
         interp = jax.default_backend() != "tpu"
 
     def body_fn(s: _LoopState):
         if use_fused:
             emb = model.apply(params, s.token, s.step - 1,
                               method=UnifiedVoice.embed_decode_token)
+            kv_c, kv_s = s.cache if int8_kv else (s.cache, None)
             hidden, kv_new = fused_decode_step(
-                emb, fused_pack, s.cache, attn_bias, p + s.step, cfg.heads,
-                interpret=interp)
-            cache = apply_kv_update(s.cache, kv_new, p + s.step)
+                emb, fused_pack, kv_c, attn_bias, p + s.step, cfg.heads,
+                interpret=interp, kv_scales=kv_s)
+            if int8_kv:
+                cache = apply_kv_update_q(kv_c, kv_s, kv_new, p + s.step)
+            else:
+                cache = apply_kv_update(s.cache, kv_new, p + s.step)
             logits = model.apply(params, hidden, method=UnifiedVoice.readout)
         else:
             logits, cache = model.apply(

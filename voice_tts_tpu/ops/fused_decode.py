@@ -186,6 +186,29 @@ def cache_to_time_major(kv_cache: jnp.ndarray) -> jnp.ndarray:
         l, 2, b, t, h * hd)
 
 
+def quantize_kv_cache(tm_cache: jnp.ndarray):
+    """Per-position symmetric int8 quantization of a time-major cache.
+
+    tm_cache (L, 2, 1, T, D) float -> (int8 cache same shape,
+    scales (L, T, 2) f32) with dequant = q * scale.  One scale per
+    (layer, position, k-or-v) row — the standard production KV8 scheme;
+    halves the decode loop's cache DMA, which grows linearly with the
+    prefix while the weight traffic stays flat.
+    """
+    s = jnp.max(jnp.abs(tm_cache.astype(jnp.float32)), axis=-1) / 127.0
+    s = jnp.maximum(s, 1e-12)                     # (L, 2, 1, T)
+    q = jnp.round(tm_cache.astype(jnp.float32) / s[..., None])
+    q = jnp.clip(q, -127, 127).astype(jnp.int8)
+    return q, jnp.transpose(s[:, :, 0, :], (0, 2, 1))
+
+
+def quantize_kv_rows(kv_new: jnp.ndarray):
+    """(L, 2, D) f32 new-token rows -> (int8 rows, scales (L, 2) f32)."""
+    s = jnp.maximum(jnp.max(jnp.abs(kv_new), axis=-1) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(kv_new / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def _ln(x, w, b, eps=1e-5):
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
@@ -193,14 +216,14 @@ def _ln(x, w, b, eps=1e-5):
 
 
 def _kernel(pos_ref, x_ref, w_ref, c_ref, *rest, heads, skip_attn,
-            int4_groups):
-    if int4_groups:
-        (gs_ref, bias_ref, hmask_ref, hmask_t_ref, cache_ref, y_ref, kv_ref,
-         x_s, ln_s, q_s, k_s, v_s, h_s, acc_s, kbuf, vbuf, sem_k,
-         sem_v) = rest
-    else:
-        (bias_ref, hmask_ref, hmask_t_ref, cache_ref, y_ref, kv_ref, x_s,
-         ln_s, q_s, k_s, v_s, h_s, acc_s, kbuf, vbuf, sem_k, sem_v) = rest
+            int4_groups, int8_kv):
+    rest = list(rest)
+    gs_ref = rest.pop(0) if int4_groups else None
+    bias_ref, hmask_ref, hmask_t_ref, cache_ref = rest[:4]
+    rest = rest[4:]
+    kscale_ref = rest.pop(0) if int8_kv else None
+    (y_ref, kv_ref, x_s, ln_s, q_s, k_s, v_s, h_s, acc_s, kbuf, vbuf,
+     sem_k, sem_v) = rest
     layer = pl.program_id(0)
     t = pl.program_id(1)
     n_layers = pl.num_programs(0)
@@ -311,6 +334,8 @@ def _kernel(pos_ref, x_ref, w_ref, c_ref, *rest, heads, skip_attn,
             dma_k(j, slot).wait()
             t0 = j * BLOCK_T
             k = kbuf[slot].astype(jnp.float32)            # (BT, D)
+            if int8_kv:
+                k = k * kscale_ref[0, pl.ds(t0, BLOCK_T), 0:1]
             scores = head_sum(q * k)                      # (BT, H)
             scores = scores + bias_ref[pl.ds(t0, BLOCK_T), :]
             row = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_T, heads), 0) + t0
@@ -323,6 +348,8 @@ def _kernel(pos_ref, x_ref, w_ref, c_ref, *rest, heads, skip_attn,
 
             dma_v(j, slot).wait()
             v = vbuf[slot].astype(jnp.float32)            # (BT, D)
+            if int8_kv:
+                v = v * kscale_ref[0, pl.ds(t0, BLOCK_T), 1:2]
             pv = jnp.sum(head_bcast(p) * v, axis=0, keepdims=True)  # (1, D)
             acc_new = acc * head_bcast(alpha) + pv
             return m_new, l_new, acc_new
@@ -378,7 +405,8 @@ def _kernel(pos_ref, x_ref, w_ref, c_ref, *rest, heads, skip_attn,
 def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
                       kv_cache: jnp.ndarray, bias: jnp.ndarray,
                       pos: jnp.ndarray, heads: int,
-                      interpret: bool = False, skip_attn: bool = False):
+                      interpret: bool = False, skip_attn: bool = False,
+                      kv_scales: jnp.ndarray = None):
     """One full trunk step.  x (1, D) token embedding; kv_cache TIME-MAJOR
     (L, 2, 1, Tmax, D) (see `cache_to_time_major`) with Tmax % BLOCK_T == 0;
     bias (Tmax, 1) f32 additive mask over cache positions; pos scalar — the
@@ -387,11 +415,19 @@ def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
     Returns (hidden (1, D) f32 pre-ln_f, kv_new (L, 2, D)).  The caller must
     write kv_new into the cache at [.., pos, :] (one dynamic_update_slice).
     `skip_attn` replaces attention with a stub — perf-debug only.
+
+    int8 KV: pass an int8 `kv_cache` plus `kv_scales` (L, Tmax, 2) f32
+    (see `quantize_kv_cache`); the attention stage dequantizes each cache
+    block in VMEM (half the per-step cache DMA).  kv_new comes back f32 —
+    quantize with `quantize_kv_rows` before `apply_kv_update_q`.
     """
     l, _, b, t_max, d = kv_cache.shape
+    int8_kv = kv_scales is not None
     assert b == 1 and d % heads == 0 and x.shape == (1, d)
     assert t_max % BLOCK_T == 0, "cache length must be a multiple of BLOCK_T"
     assert bias.shape == (t_max, 1)
+    assert not int8_kv or (kv_cache.dtype == jnp.int8
+                           and kv_scales.shape == (l, t_max, 2))
 
     hmask = (jnp.arange(d)[:, None] // (d // heads)
              == jnp.arange(heads)[None, :]).astype(jnp.float32)
@@ -420,6 +456,10 @@ def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),            # kv cache (HBM)
     ]
+    if int8_kv:
+        in_specs.append(
+            pl.BlockSpec((1, t_max, 2), lambda i, t, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM))    # per-layer kv scales
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -446,18 +486,21 @@ def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
         ],
     )
     kernel = functools.partial(_kernel, heads=heads, skip_attn=skip_attn,
-                               int4_groups=int4_groups)
+                               int4_groups=int4_groups, int8_kv=int8_kv)
     args = [jnp.asarray([pos], jnp.int32), x.astype(jnp.float32),
             pack.w, pack.consts]
     if int4:
         args.append(pack.gscales)
     args += [bias, hmask, jnp.transpose(hmask), kv_cache]
+    if int8_kv:
+        args.append(kv_scales)
+    kv_new_dtype = jnp.float32 if int8_kv else kv_cache.dtype
     y, kv_new = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, d), jnp.float32),
-            jax.ShapeDtypeStruct((l, 2, d), kv_cache.dtype),
+            jax.ShapeDtypeStruct((l, 2, d), kv_new_dtype),
         ],
         interpret=interpret,
     )(*args)
@@ -470,3 +513,15 @@ def apply_kv_update(kv_cache: jnp.ndarray, kv_new: jnp.ndarray,
     return jax.lax.dynamic_update_slice(
         kv_cache, kv_new[:, :, None, None, :].astype(kv_cache.dtype),
         (0, 0, 0, pos, 0))
+
+
+def apply_kv_update_q(kv_cache: jnp.ndarray, kv_scales: jnp.ndarray,
+                      kv_new: jnp.ndarray, pos: jnp.ndarray):
+    """Quantize kv_new (L, 2, D) f32 and write row + scale at position pos
+    into the int8 cache / (L, Tmax, 2) scale table."""
+    q, s = quantize_kv_rows(kv_new)
+    cache = jax.lax.dynamic_update_slice(
+        kv_cache, q[:, :, None, None, :], (0, 0, 0, pos, 0))
+    scales = jax.lax.dynamic_update_slice(
+        kv_scales, s[:, None, :], (0, pos, 0))
+    return cache, scales
