@@ -132,6 +132,15 @@ class DiTConfig:
     # fused attention already keeps the 16 MB score block on-chip here.
     # Kept opt-in for possible long-T DiT configs
     fused_attention: bool = False
+    # whole-trunk Pallas megakernel (ops/dit_blocks.py): all `depth` blocks
+    # in ONE pallas_call, residual stream resident in VMEM.  Requires the
+    # hoisted step tables, batch <= 2, T <= 768, and the flagship FFN
+    # geometry (inner == 3*hidden); anything else falls back to the einsum
+    # path.  bf16 storage between stages (~1e-2-relative vs f32 einsum).
+    # MEASURED ~2x SLOWER than XLA at serving shapes (velocity 3.88 vs
+    # 2.23 ms; CFM solve 91 vs 47 ms) — see ops/dit_blocks.py for the
+    # analysis; keep OFF unless that revision lands
+    fused_blocks: bool = False
 
 
 @dataclass(eq=False)

@@ -369,6 +369,16 @@ class TTSEngine:
                                                 cond, target_len, total_max)
             prompt_x = place_prompt_mel(ref_mel, prompt_len, total_max)
 
+            # whole-trunk DiT megakernel: packed per solve (NOT per step —
+            # this sits outside the Euler scan), weights ride as traced
+            # values derived from the s2_params argument
+            from voice_tts_tpu.ops.dit_blocks import (can_fuse_dit,
+                                                      pack_dit_blocks,
+                                                      pack_dit_tables)
+            dcfg = cfg.s2mel.dit
+            use_fused_dit = (dcfg.fused_blocks and cat.shape[0] == 1
+                             and total_max <= 768 and can_fuse_dit(dcfg))
+
             def dit_apply(p, x, prompt_x, lens, t, style_v, mu, tab):
                 # compute dtype follows the param tree (bf16 runtime tree
                 # under use_bf16_s2mel); CFM state x stays f32 in the caller
@@ -377,7 +387,8 @@ class TTSEngine:
                     return a.astype(dt) if jnp.issubdtype(a.dtype, jnp.floating) else a
                 v = self.s2mel.apply(p, conv(x), conv(prompt_x), lens,
                                      t, conv(style_v), conv(mu),
-                                     tables=tab, method=S2Mel.velocity)
+                                     tables=tab, fused_w=fused_w,
+                                     method=S2Mel.velocity)
                 return v.astype(jnp.float32)
 
             # hoist every timestep-dependent projection out of the Euler
@@ -386,6 +397,11 @@ class TTSEngine:
             t_mids = jnp.linspace(0.0, 1.0, n_steps + 1)[:n_steps]
             tables = self.s2mel.apply(s2_params, t_mids,
                                       method=S2Mel.step_tables)
+            fused_w = None
+            if use_fused_dit:
+                est = {"params": s2_params["params"]["estimator"]}
+                fused_w = pack_dit_blocks(est, dcfg.depth)
+                tables["fused_wb"] = pack_dit_tables(est, tables, dcfg.depth)
             mel = cfm_inference(dit_apply, s2_params, cat, total_len, prompt_x,
                                 prompt_len, style, rng,
                                 n_steps,

@@ -257,7 +257,12 @@ class DiT(nn.Module):
             "final": self.final_layer.modulation(t1)[:, None, :],
         }
 
-    def __call__(self, x, prompt_x, x_lens, t, style, cond, tables=None):
+    def __call__(self, x, prompt_x, x_lens, t, style, cond, tables=None,
+                 fused_w=None):
+        """`fused_w` (depth, 5, 3, D, D) bf16 (`ops.dit_blocks.pack_dit_blocks`)
+        runs the whole block trunk as ONE Pallas megakernel; requires
+        `tables` carrying a `fused_wb` entry (`pack_dit_tables`).  The
+        einsum block loop is the default (and exact-parity) path."""
         c = self.cfg
         b, _, tlen = x.shape
 
@@ -283,10 +288,21 @@ class DiT(nn.Module):
         freqs = jnp.asarray(rope_cache(tlen, c.hidden_dim // c.num_heads,
                                        c.rope_base))
         c_emb = t1[:, None, :]
-        for i in range(c.depth):
-            h = getattr(self, f"block_{i}")(
-                h, c_emb, freqs, attn_mask, x_lens,
-                tables["blocks"][i] if tables is not None else None)
+        if fused_w is not None and tables is not None and "fused_wb" in tables:
+            from voice_tts_tpu.ops.dit_blocks import (dit_block_chain,
+                                                      rope_tables)
+
+            cos, sin, perm = rope_tables(tlen, c.hidden_dim // c.num_heads,
+                                         c.rope_base)
+            h = dit_block_chain(
+                h.astype(jnp.float32), fused_w, tables["fused_wb"],
+                cos, sin, perm, x_lens, c.num_heads,
+                interpret=jax.default_backend() != "tpu").astype(h.dtype)
+        else:
+            for i in range(c.depth):
+                h = getattr(self, f"block_{i}")(
+                    h, c_emb, freqs, attn_mask, x_lens,
+                    tables["blocks"][i] if tables is not None else None)
         h = self.transformer_norm(
             h, c_emb, wb=tables["norm"] if tables is not None else None)
 

@@ -49,9 +49,10 @@ class S2Mel(nn.Module):
                  target_len: jnp.ndarray, out_max: int) -> jnp.ndarray:
         return self.length_regulator(s, src_len, target_len, out_max)
 
-    def velocity(self, x, prompt_x, x_lens, t, style, mu, tables=None):
+    def velocity(self, x, prompt_x, x_lens, t, style, mu, tables=None,
+                 fused_w=None):
         return self.estimator(x, prompt_x, x_lens, t, style, mu,
-                              tables=tables)
+                              tables=tables, fused_w=fused_w)
 
     def step_tables(self, t_span):
         """Batched timestep-dependent projections for the CFM scan
