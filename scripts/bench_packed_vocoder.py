@@ -66,6 +66,17 @@ def main():
 
     print(f"packed: {chained_ms(run_packed, packed, mel):7.1f} ms", flush=True)
 
+    from voice_tts_tpu.models.vocoder.packed import (
+        bigvgan_shared_act_apply, pack_bigvgan_shared)
+    shared = pack_bigvgan_shared(params, cfg)
+    jax.block_until_ready(jax.tree.leaves(shared)[0])
+
+    def run_shared(p, m):
+        return jnp.sum(bigvgan_shared_act_apply(p, m, cfg)
+                       .astype(jnp.float32)) * 1e-6
+
+    print(f"shared: {chained_ms(run_shared, shared, mel):7.1f} ms", flush=True)
+
 
 if __name__ == "__main__":
     main()

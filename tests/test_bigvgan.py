@@ -159,6 +159,30 @@ def test_bigvgan_packed_parity():
     np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-4)
 
 
+def test_bigvgan_shared_act_parity():
+    """Shared-activation path (one AA call per iter across the nk resblocks,
+    dense per-block convs) == module path."""
+    from voice_tts_tpu.models.vocoder.packed import (
+        bigvgan_shared_act_apply, pack_bigvgan_shared)
+
+    cfg = BigVGANConfig(
+        num_mels=12, upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=24, resblock_kernel_sizes=(3, 7, 11),
+        resblock_dilation_sizes=((1, 3, 5),) * 3,
+    )
+    model = BigVGAN(cfg, use_pallas=False)
+    rng = np.random.default_rng(11)
+    mel = rng.normal(size=(2, cfg.num_mels, 11)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(6), mel)
+    params = jax.tree.map(lambda x: x + 0.1, params)
+    ref = np.asarray(model.apply(params, mel))
+
+    packed = pack_bigvgan_shared(params, cfg)
+    ours = np.asarray(bigvgan_shared_act_apply(packed, mel, cfg))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-4)
+
+
 def test_bigvgan_packed_rejects_mismatched_schedules():
     from voice_tts_tpu.models.vocoder.packed import can_pack
 

@@ -191,6 +191,61 @@ def test_decode_incremental_consistency():
         assert expect == int(codes[n]), f"mismatch at step {n}"
 
 
+def test_decode_int8_kv_xla_close_to_float():
+    """Batched XLA decode with the int8 QuantKVCache: same mechanism as the
+    float cache, logits within quantization tolerance (greedy codes equal on
+    this model), batch > 1 (the serving path the cache targets)."""
+    cfg = TINY
+    model = UnifiedVoice(cfg)
+    rng = np.random.default_rng(9)
+    text = rng.integers(2, 30, size=(2, 7)).astype(np.int32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 6, 1024)),
+                        jnp.zeros((1, 6, 1024)), jnp.asarray(text[:1]),
+                        jnp.asarray([7]), jnp.zeros((1, 5), dtype=jnp.int32),
+                        jnp.asarray([5]), method=UnifiedVoice.init_all)
+    cond = jnp.asarray(rng.normal(size=(2, 4, cfg.model_dim)) * 0.1
+                       ).astype(jnp.float32)
+    emovec = jnp.asarray(rng.normal(size=(2, cfg.model_dim)) * 0.1
+                         ).astype(jnp.float32)
+    lens = jnp.asarray([7, 5], dtype=jnp.int32)
+    gen = GenerationConfig(do_sample=False, repetition_penalty=1.0,
+                           num_beams=1)
+    ref = decode(params, model, gen, cond, emovec, jnp.asarray(text), lens,
+                 jax.random.PRNGKey(1), max_new=8)
+    q = decode(params, model, gen, cond, emovec, jnp.asarray(text), lens,
+               jax.random.PRNGKey(1), max_new=8, int8_kv=True)
+    assert q.codes.shape == ref.codes.shape
+    # greedy argmax is stable under ~0.5% kv quantization error here
+    np.testing.assert_array_equal(np.asarray(q.codes), np.asarray(ref.codes))
+    np.testing.assert_array_equal(np.asarray(q.lengths),
+                                  np.asarray(ref.lengths))
+
+
+def test_quant_kv_cache_attention_close():
+    """One GPT2Stack prefill + step: quantized-cache hidden states track the
+    float-cache hidden states to within int8 quantization error."""
+    from voice_tts_tpu.models.gpt.gpt2 import GPT2Stack
+
+    stack = GPT2Stack(layers=2, dim=64, heads=4)
+    rng = np.random.default_rng(12)
+    emb = jnp.asarray(rng.normal(size=(2, 5, 64)) * 0.3).astype(jnp.float32)
+    params = stack.init(jax.random.PRNGKey(3), emb)
+    fcache = stack.init_cache(2, 16)
+    qcache = stack.init_quant_cache(2, 16)
+    valid = jnp.ones((2, 16), dtype=bool)
+
+    h_f, fcache = stack.apply(params, emb, fcache, 0, valid)
+    h_q, qcache = stack.apply(params, emb, qcache, 0, valid)
+    np.testing.assert_allclose(np.asarray(h_q), np.asarray(h_f),
+                               atol=3e-2, rtol=3e-2)
+
+    nxt = jnp.asarray(rng.normal(size=(2, 1, 64)) * 0.3).astype(jnp.float32)
+    h_f2, _ = stack.apply(params, nxt, fcache, 5, valid)
+    h_q2, _ = stack.apply(params, nxt, qcache, 5, valid)
+    np.testing.assert_allclose(np.asarray(h_q2), np.asarray(h_f2),
+                               atol=3e-2, rtol=3e-2)
+
+
 def test_decode_sampling_runs_and_stops():
     cfg = TINY
     model = UnifiedVoice(cfg)

@@ -299,7 +299,12 @@ class EngineConfig:
     # NEUTRAL at bench context (~341 max positions: RTF 0.0744 vs 0.0737 —
     # the VPU dequant offsets the DMA saved on 1-2 cache blocks); the DMA
     # saving scales with prefix length, so enable for long-context configs
-    # (max_mel_tokens ~1500, where late steps read 6 blocks/layer)
+    # (max_mel_tokens ~1500, where late steps read 6 blocks/layer).
+    # On the batched XLA path (batch > 1 / no megakernel) the same flag
+    # stores the cache as a `gpt2.QuantKVCache` — int8 rows with
+    # per-(layer,k/v,batch,head,position) scales folded into the attention
+    # scores/probs so the dequant convert fuses into the dots; KV-cache
+    # DMA is the dominant batch>=8 serving traffic (STATUS.md)
     use_int8_kv: bool = False
     # run teacher-forced latent + s2mel + vocoder as ONE jitted graph with a
     # single host sync (each extra sync costs a round trip on remote-attached
@@ -317,6 +322,14 @@ class EngineConfig:
     # Ignored when the config's resblock schedule can't pack
     # (`packed.can_pack`)
     use_packed_vocoder: bool = False
+    # share each vocoder stage's anti-aliased snake activations across the
+    # 3 parallel AMP resblocks (one AA call per dilation iteration on
+    # (B, 3C, T) instead of three) while keeping dense per-block convs —
+    # exact math, 18 -> 6 activation ops per stage.  The AA activation is
+    # op-overhead-bound (~0.16-0.31 ms/call regardless of shape,
+    # scripts/micro_vocoder_ops.py), so this targets the dominant vocoder
+    # cost directly without the grouped-conv penalty of use_packed_vocoder
+    use_shared_act_vocoder: bool = False
     # fused Pallas resblock-stage kernels for the late (C <= 192) vocoder
     # stages: one kernel per stage instead of ~300 XLA ops (the vocoder is
     # op-count-bound, see ops/fused_vocoder.py). Interior-exact; the

@@ -159,12 +159,20 @@ class TTSEngine:
         self._packed_voc = False
         self._fused_voc = False
         self.params_voc_rt = params["vocoder"]
+        self._shared_act_voc = False
         if cfg.engine.use_packed_vocoder:
             from voice_tts_tpu.models.vocoder.packed import can_pack, pack_bigvgan
             if can_pack(cfg.vocoder):
                 self.params_voc_rt = pack_bigvgan(params["vocoder"],
                                                   cfg.vocoder)
                 self._packed_voc = True
+        elif cfg.engine.use_shared_act_vocoder:
+            from voice_tts_tpu.models.vocoder.packed import (can_pack,
+                                                             pack_bigvgan_shared)
+            if can_pack(cfg.vocoder):
+                self.params_voc_rt = pack_bigvgan_shared(params["vocoder"],
+                                                         cfg.vocoder)
+                self._shared_act_voc = True
         elif cfg.engine.use_fused_vocoder and jax.default_backend() == "tpu":
             # fused resblock-stage Pallas kernels for the late (C <= 192)
             # stages; packs ride along with the param tree so every jitted
@@ -423,6 +431,10 @@ class TTSEngine:
                 from voice_tts_tpu.models.vocoder.packed import (
                     bigvgan_packed_apply)
                 wav = bigvgan_packed_apply(voc_params, mel, cfg.vocoder)
+            elif self._shared_act_voc:
+                from voice_tts_tpu.models.vocoder.packed import (
+                    bigvgan_shared_act_apply)
+                wav = bigvgan_shared_act_apply(voc_params, mel, cfg.vocoder)
             elif self._fused_voc:
                 from voice_tts_tpu.ops.fused_vocoder import bigvgan_fused_apply
                 wav = bigvgan_fused_apply(voc_params["tree"],

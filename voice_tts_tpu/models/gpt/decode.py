@@ -164,6 +164,10 @@ def decode(params, model: UnifiedVoice, gen: GenerationConfig,
     b, bl = text_tokens.shape
     use_fused = (fused_pack is not None and b == 1
                  and not cfg.pallas_decode_attention)
+    # int8 KV on the XLA path needs the plain-attention branch (the Pallas
+    # decode-attention kernel reads a float cache)
+    int8_kv_xla = (int8_kv and not use_fused
+                   and not cfg.pallas_decode_attention)
     int8_kv = int8_kv and use_fused
     p = cfg.condition_num_latent + 2 + bl + 2  # conds(34) + start/text/stop
     t_max = p + 1 + max_new
@@ -184,8 +188,16 @@ def decode(params, model: UnifiedVoice, gen: GenerationConfig,
         [valid_p, jnp.ones((b, t_max - p), dtype=bool)], axis=1)
 
     hd = cfg.model_dim // cfg.heads
-    cache0 = jnp.zeros((cfg.layers, 2, b, cfg.heads, hd, t_max),
-                       dtype=prompt.dtype)
+    if int8_kv_xla:
+        from voice_tts_tpu.models.gpt.gpt2 import QuantKVCache
+        cache0 = QuantKVCache(
+            jnp.zeros((cfg.layers, 2, b, cfg.heads, hd, t_max),
+                      dtype=jnp.int8),
+            jnp.full((cfg.layers, 2, b, cfg.heads, t_max), 1e-12,
+                     dtype=jnp.float32))
+    else:
+        cache0 = jnp.zeros((cfg.layers, 2, b, cfg.heads, hd, t_max),
+                           dtype=prompt.dtype)
     logits0, cache = model.apply(params, prompt, valid_p, cache0,
                                  method=UnifiedVoice.prefill)
 

@@ -198,9 +198,14 @@ class UnifiedVoice(nn.Module):
         start_emb = self.mel_embedding(start) + self.mel_pos_embedding(
             jnp.zeros((1,), dtype=jnp.int32))[None]
         embeds = jnp.concatenate([prompt_embeds, start_emb], axis=1)
+        # int8 QuantKVCache: compute dtype follows the embeds, not the cache
+        compute_dtype = (prompt_embeds.dtype if isinstance(kv_cache, tuple)
+                         else kv_cache.dtype)
+        t_max = (kv_cache[0] if isinstance(kv_cache, tuple)
+                 else kv_cache).shape[5]
         valid_all = jnp.concatenate(
-            [valid, jnp.ones((b, kv_cache.shape[5] - p), dtype=bool)], axis=1)
-        hidden, cache = self.gpt(embeds.astype(kv_cache.dtype), kv_cache, 0,
+            [valid, jnp.ones((b, t_max - p), dtype=bool)], axis=1)
+        hidden, cache = self.gpt(embeds.astype(compute_dtype), kv_cache, 0,
                                  valid_all)
         logits = self.mel_head(self.final_norm(hidden[:, -1]).astype(jnp.float32))
         return logits, cache
@@ -224,7 +229,9 @@ class UnifiedVoice(nn.Module):
         cache_index.  Returns (logits (B, vocab), new cache)."""
         emb = (self.mel_embedding(token[:, None])
                + self.mel_pos_embedding(step[None, None] + 1))
-        hidden, cache = self.gpt(emb.astype(kv_cache.dtype), kv_cache,
+        compute_dtype = (emb.dtype if isinstance(kv_cache, tuple)
+                         else kv_cache.dtype)
+        hidden, cache = self.gpt(emb.astype(compute_dtype), kv_cache,
                                  cache_index, valid)
         logits = self.mel_head(self.final_norm(hidden[:, -1]).astype(jnp.float32))
         return logits, cache

@@ -109,6 +109,59 @@ def pack_bigvgan(params: Dict[str, Any], cfg: BigVGANConfig) -> Dict[str, Any]:
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def pack_bigvgan_shared(params: Dict[str, Any],
+                        cfg: BigVGANConfig) -> Dict[str, Any]:
+    """flax BigVGAN param tree -> tree for `bigvgan_shared_act_apply`.
+
+    Unlike `pack_bigvgan` (grouped convs, measured 2.7x SLOWER than the
+    module path — XLA lowers feature-grouped 1D convs poorly on TPU), this
+    variant only BATCHES THE ACTIVATIONS: snake params concatenate
+    channel-wise so each anti-aliased activation runs once per dilation
+    iteration on (B, nk*C, T), while the convolutions stay dense per-block
+    at their ORIGINAL kernel sizes (no k_max zero-padding, no groups).
+
+    Motivation (scripts/micro_vocoder_ops.py on v5e): the AA activation is
+    ~0.16-0.31 ms/call nearly independent of shape — op-overhead-bound —
+    and the module path makes 18 calls/stage (3 blocks x 3 iters x 2).
+    Sharing cuts that to 6/stage for identical arithmetic.
+    """
+    p = params["params"]
+    nk = len(cfg.resblock_kernel_sizes)
+    n_iter = len(cfg.resblock_dilation_sizes[0])
+    has_beta = cfg.activation == "snakebeta"
+
+    out: Dict[str, Any] = {
+        "conv_pre": p["conv_pre"],
+        "conv_post": p["conv_post"],
+    }
+    a, br = _snake_values(p["activation_post"], cfg.snake_logscale, has_beta)
+    out["act_post"] = (a, br)
+
+    stages = []
+    for i in range(len(cfg.upsample_rates)):
+        blocks = [p[f"resblocks_{i * nk + j}"] for j in range(nk)]
+        iters = []
+        for m in range(n_iter):
+            acts1 = [_snake_values(b[f"act_{2 * m}"], cfg.snake_logscale,
+                                   has_beta) for b in blocks]
+            acts2 = [_snake_values(b[f"act_{2 * m + 1}"], cfg.snake_logscale,
+                                   has_beta) for b in blocks]
+            iters.append({
+                "convs1": [(b[f"convs1_{m}"]["weight"],
+                            b[f"convs1_{m}"]["bias"]) for b in blocks],
+                "convs2": [(b[f"convs2_{m}"]["weight"],
+                            b[f"convs2_{m}"]["bias"]) for b in blocks],
+                "a1": jnp.concatenate([v[0] for v in acts1]),
+                "br1": jnp.concatenate([v[1] for v in acts1]),
+                "a2": jnp.concatenate([v[0] for v in acts2]),
+                "br2": jnp.concatenate([v[1] for v in acts2]),
+            })
+        stages.append({"ups": p[f"ups_{i}"], "iters": iters})
+    out["stages"] = stages
+    return out
+
+
 def _conv(x, w, b, padding, dilation=1, groups=1):
     y = jax.lax.conv_general_dilated(
         x.astype(w.dtype), w, window_strides=(1,),
@@ -162,6 +215,55 @@ def bigvgan_packed_apply(packed: Dict[str, Any], mel: jnp.ndarray,
                                      use_pallas=use_pallas)
             xt = _conv(xt, it["w2"], it["b2"],
                        padding=(k_max - 1) // 2, dilation=1, groups=nk)
+            xs = xs + xt
+        x = jnp.mean(xs.reshape(x.shape[0], nk, c, -1), axis=1)
+
+    a, br = packed["act_post"]
+    x = aa_snake_activation(x, a, br, use_pallas=use_pallas)
+    cp = packed["conv_post"]
+    x = _conv(x, cp["weight"], cp.get("bias"), padding=3)
+    if cfg.use_tanh_at_final:
+        return jnp.tanh(x)
+    return jnp.clip(x, -1.0, 1.0)
+
+
+def bigvgan_shared_act_apply(packed: Dict[str, Any], mel: jnp.ndarray,
+                             cfg: BigVGANConfig,
+                             use_pallas=None) -> jnp.ndarray:
+    """mel (B, num_mels, F) -> waveform, same math as `BigVGAN.__call__`.
+
+    The nk parallel resblocks' states ride one (B, nk*C, T) tensor so each
+    anti-aliased snake activation is ONE call per dilation iteration; the
+    convs run dense per block on channel slices (reference resblock
+    semantics: `s2mel/modules/bigvgan/bigvgan.py:132-141,360-384`)."""
+    nk = len(cfg.resblock_kernel_sizes)
+    ks = cfg.resblock_kernel_sizes
+    dilations = cfg.resblock_dilation_sizes[0]
+
+    cp = packed["conv_pre"]
+    x = _conv(mel, cp["weight"], cp["bias"], padding=3)
+
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates,
+                                   cfg.upsample_kernel_sizes)):
+        st = packed["stages"][i]
+        x = _conv_transpose(x, st["ups"]["weight"], st["ups"]["bias"],
+                            stride=u, padding=(k - u) // 2)
+        c = x.shape[1]
+        xs = jnp.tile(x, (1, nk, 1))                     # (B, nk*C, T)
+        for m, d in enumerate(dilations):
+            it = st["iters"][m]
+            z = aa_snake_activation(xs, it["a1"], it["br1"],
+                                    use_pallas=use_pallas)
+            xt = jnp.concatenate([
+                _conv(z[:, j * c:(j + 1) * c], w, b,
+                      padding=(ks[j] * d - d) // 2, dilation=d)
+                for j, (w, b) in enumerate(it["convs1"])], axis=1)
+            zt = aa_snake_activation(xt, it["a2"], it["br2"],
+                                     use_pallas=use_pallas)
+            xt = jnp.concatenate([
+                _conv(zt[:, j * c:(j + 1) * c], w, b,
+                      padding=(ks[j] - 1) // 2)
+                for j, (w, b) in enumerate(it["convs2"])], axis=1)
             xs = xs + xt
         x = jnp.mean(xs.reshape(x.shape[0], nk, c, -1), axis=1)
 

@@ -258,10 +258,19 @@ def main():
     parser.add_argument("--model-dir", type=str, default=None)
     parser.add_argument("--tiny", action="store_true",
                         help="tiny random-weight engine (demo/testing)")
+    parser.add_argument("--platform", type=str, default=None,
+                        choices=["cpu", "tpu"],
+                        help="force the JAX backend (some accelerator "
+                             "plugins ignore JAX_PLATFORMS; this sets it "
+                             "via jax.config before any backend touch)")
     parser.add_argument("--log-level", type=str, default="info",
                         choices=["critical", "error", "warning", "info",
                                  "debug", "trace"])
     args = parser.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     logger.set_level(args.log_level)
     asyncio.run(amain(args))
 
