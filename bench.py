@@ -49,6 +49,8 @@ def build_engine(tiny: bool):
     # int4 (g128) megakernel tiles — default OFF: RTN int4 is a quality
     # trade that needs validation on real checkpoints (A/B: INT4_DECODE=1)
     cfg.engine.use_int4_decode = os.environ.get("INT4_DECODE", "0") == "1"
+    # int4 dequant scheme A/B (INT4_EXPAND=1: whole-tile MXU dequant)
+    cfg.engine.int4_expand = os.environ.get("INT4_EXPAND", "0") == "1"
     # int8 KV cache in the megakernel (per-position scales)
     cfg.engine.use_int8_kv = os.environ.get("INT8_KV", "0") == "1"
     # bf16 s2mel/DiT compute (f32 softmax/LN stats); measured perf-neutral
@@ -58,6 +60,10 @@ def build_engine(tiny: bool):
     # whole-segment single-dispatch pipeline; max_mel_tokens above is sized
     # to the utterance, which is exactly the case it is designed for
     cfg.engine.fuse_pipeline = os.environ.get("FUSE_PIPELINE", "1") == "1"
+    # shared-activation vocoder: one AA call per dilation iteration across
+    # the 3 resblocks (exact math; A/B via SHARED_ACT_VOC=0/1)
+    cfg.engine.use_shared_act_vocoder = (
+        os.environ.get("SHARED_ACT_VOC", "0") == "1")
     return TTSEngine.random(cfg, seed=0)
 
 

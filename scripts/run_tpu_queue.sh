@@ -1,0 +1,52 @@
+#!/bin/bash
+# Serial TPU measurement queue for the axon-tunneled chip (one client at a
+# time).  Waits for the tunnel to accept a backend init, then runs the
+# queued A/Bs, logging to /tmp/q_*.log.  Launch detached:
+#   nohup setsid bash scripts/run_tpu_queue.sh > /tmp/tpu_queue.log 2>&1 &
+set -u
+cd /root/repo
+
+probe() {
+    timeout 1800 python - <<'EOF'
+import time, jax, jax.numpy as jnp
+t0 = time.time()
+d = jax.devices()
+print("devices:", d, "init_s:", round(time.time() - t0, 1), flush=True)
+print("sum:", float(jnp.sum(jnp.ones((8, 128)))), flush=True)
+EOF
+}
+
+echo "[queue] waiting for TPU tunnel..." ; date
+until probe; do
+    echo "[queue] tunnel not ready, retrying in 120 s"; date
+    sleep 120
+done
+echo "[queue] tunnel up"; date
+
+run() {  # run <label> <cmd...>
+    echo "[queue] === $1 ==="; date
+    shift
+    timeout 3000 "$@" > "/tmp/q_$1.log" 2>&1
+    echo "[queue] exit $? — tail:"
+    tail -n 12 "/tmp/q_$1.log"
+}
+
+# 1. shared-act vocoder vs module vs grouped at full scale
+run voc_ab python scripts/bench_packed_vocoder.py
+
+# 2. e2e bench A/B: shared-act vocoder off/on
+run bench_base python bench.py
+run bench_shared env SHARED_ACT_VOC=1 python bench.py
+
+# 3. int4 unpack-strategy micro (several new Pallas kernel compiles — slow)
+run micro_int4 python scripts/micro_int4.py
+
+# 4. e2e int4 A/B: group sub-dots vs MXU-expanded whole-tile dequant
+run bench_int4 env INT4_DECODE=1 python bench.py
+run bench_int4x env INT4_DECODE=1 INT4_EXPAND=1 python bench.py
+
+# 5. serving A/B: int8 KV cache on the batched XLA path
+run serving_base python bench_serving.py
+run serving_kv8 env INT8_KV=1 python bench_serving.py
+
+echo "[queue] all done"; date

@@ -292,6 +292,11 @@ class EngineConfig:
     # unpack cost). RTN int4 is a real quality trade — validate on real
     # checkpoints before enabling in production; prefill/latent stay int8
     use_int4_decode: bool = False
+    # int4 dequant scheme inside the megakernel: False = per-group K=128
+    # sub-dots scaled on the output; True = whole-tile dequant via an
+    # MXU-expanded (D/2, D) scale matrix + two dense K=D/2 dots (fewer,
+    # larger MXU passes; identical quantization).  A/B per hardware
+    int4_expand: bool = False
     # int8 KV cache inside the megakernel (per-position scales, dequant in
     # VMEM): halves the prefix DMA, which grows with context while weight
     # traffic stays flat.  Standard production KV8 — far milder than int4
@@ -330,6 +335,13 @@ class EngineConfig:
     # scripts/micro_vocoder_ops.py), so this targets the dominant vocoder
     # cost directly without the grouped-conv penalty of use_packed_vocoder
     use_shared_act_vocoder: bool = False
+    # megatron-style tensor parallelism for the GPT over a "tp" mesh axis
+    # (attention/MLP matmuls sharded, XLA inserts the ICI all-reduces via
+    # sharding propagation — see `parallel/mesh.py` rules).  1 = off: the
+    # flagship model fits one chip, so per-chip replicas (serving --workers)
+    # remain the default scale-out; >1 is for models exceeding one chip and
+    # disables the single-chip fast paths (int8/fused megakernel decode)
+    tensor_parallel: int = 1
     # fused Pallas resblock-stage kernels for the late (C <= 192) vocoder
     # stages: one kernel per stage instead of ~300 XLA ops (the vocoder is
     # op-count-bound, see ops/fused_vocoder.py). Interior-exact; the

@@ -128,6 +128,23 @@ class TTSEngine:
         # bf16 GPT runtime params for decode + teacher-forced latent
         # (reference runs fp16 autocast on the GPT only, `infer_v2.py:628,695`)
         self.fused_pack = None
+        self._tp_mesh = None
+        if cfg.engine.tensor_parallel > 1:
+            # megatron-style TP over an ICI "tp" axis (replaces the
+            # reference's dormant HF `parallelize()` layer split,
+            # `indextts/gpt/model_v2.py:61-77`).  Single-chip fast paths
+            # (fused megakernel, Pallas GEMV) are per-chip kernels — TP
+            # decode takes the XLA path where collectives are inserted
+            # by sharding propagation.
+            from voice_tts_tpu.parallel import make_mesh
+            tp = cfg.engine.tensor_parallel
+            devs = jax.devices()
+            if len(devs) < tp:
+                raise ValueError(
+                    f"tensor_parallel={tp} but only {len(devs)} devices")
+            self._tp_mesh = make_mesh(("tp",), devices=devs[:tp])
+            cfg.engine.use_int8_decode = False
+            cfg.engine.use_fused_decode = False
         if cfg.engine.use_int8_decode:
             from voice_tts_tpu.utils.quantize import quantize_gpt_params
             self.params_gpt_rt = quantize_gpt_params(params["gpt"])
@@ -148,6 +165,10 @@ class TTSEngine:
                 params["gpt"])
         else:
             self.params_gpt_rt = params["gpt"]
+        if self._tp_mesh is not None:
+            from voice_tts_tpu.parallel import shard_params
+            self.params_gpt_rt = shard_params(self.params_gpt_rt,
+                                              self._tp_mesh)
         if cfg.engine.use_bf16_s2mel:
             self.params_s2mel_rt = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16)
@@ -513,7 +534,8 @@ class TTSEngine:
             res = gpt_decode(gpt_params, self.gpt, gen, cond, emovec, text,
                              text_len, rng_d, max_new=max_new,
                              fused_pack=fused_pack,
-                             int8_kv=cfg.engine.use_int8_kv)
+                             int8_kv=cfg.engine.use_int8_kv,
+                             int4_expand=cfg.engine.int4_expand)
             # stop token excluded unless the row never produced one
             # (reference `infer_v2.py:676-687`)
             code_len0 = jnp.maximum(
@@ -887,7 +909,8 @@ class TTSEngine:
                              jnp.asarray(text), jnp.asarray(lens), sub,
                              max_new=gen.max_mel_tokens,
                              fused_pack=self.fused_pack,
-                             int8_kv=self.cfg.engine.use_int8_kv)
+                             int8_kv=self.cfg.engine.use_int8_kv,
+                             int4_expand=self.cfg.engine.int4_expand)
         elif len(jobs) == 1:
             res = beam_decode(self.params_gpt_rt, self.gpt, gen, cond, emo,
                               jnp.asarray(text), jnp.asarray(lens), sub,
@@ -1031,7 +1054,8 @@ class TTSEngine:
                              jnp.asarray([min(text_len, bucket)]), sub,
                              max_new=gen.max_mel_tokens,
                              fused_pack=self.fused_pack,
-                             int8_kv=self.cfg.engine.use_int8_kv)
+                             int8_kv=self.cfg.engine.use_int8_kv,
+                             int4_expand=self.cfg.engine.int4_expand)
         else:
             res = beam_decode(self.params_gpt_rt, self.gpt, gen,
                               spk["cond_latents"], emovec, jnp.asarray(text),

@@ -216,7 +216,7 @@ def _ln(x, w, b, eps=1e-5):
 
 
 def _kernel(pos_ref, x_ref, w_ref, c_ref, *rest, heads, skip_attn,
-            int4_groups, int8_kv):
+            int4_groups, int4_expand, int8_kv):
     rest = list(rest)
     gs_ref = rest.pop(0) if int4_groups else None
     bias_ref, hmask_ref, hmask_t_ref, cache_ref = rest[:4]
@@ -246,12 +246,33 @@ def _kernel(pos_ref, x_ref, w_ref, c_ref, *rest, heads, skip_attn,
                         preferred_element_type=jnp.float32)
             return y * c_ref[0, pl.ds(t, 1)] + c_ref[0, pl.ds(t + 12, 1)]
         wb = w_ref[0, 0].astype(jnp.int32)                 # (D/2, D) packed
-        lo = (((wb & 15) ^ 8) - 8).astype(jnp.bfloat16)
-        hi = jax.lax.shift_right_arithmetic(wb, 4).astype(jnp.bfloat16)
-        xb = src.astype(jnp.bfloat16)
         half = d // 2
         per_half = int4_groups // 2
         gsize = half // per_half
+        xb = src.astype(jnp.bfloat16)
+        if int4_expand:
+            # dequantize the whole tile: expand the (G, D) group scales to
+            # (D/2, D) rows via an MXU dot with a constant 0/1 expansion
+            # matrix, fold into the unpacked nibbles, then TWO dense
+            # K=D/2 dots (vs 2*G strided K=gsize sub-dots in the group
+            # scheme — fewer, larger MXU passes at the cost of the
+            # (D/2, D) elementwise scale multiply)
+            lo = (((wb & 15) ^ 8) - 8).astype(jnp.float32)
+            hi = jax.lax.shift_right_arithmetic(wb, 4).astype(jnp.float32)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (half, per_half), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (half, per_half), 1)
+            e = (rows // gsize == cols).astype(jnp.float32)
+            slo = jnp.dot(e, gs_ref[0, 0, :per_half],
+                          preferred_element_type=jnp.float32)
+            shi = jnp.dot(e, gs_ref[0, 0, per_half:],
+                          preferred_element_type=jnp.float32)
+            y = (jnp.dot(xb[:, :half], (lo * slo).astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+                 + jnp.dot(xb[:, half:], (hi * shi).astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32))
+            return y + c_ref[0, pl.ds(t + 12, 1)]
+        lo = (((wb & 15) ^ 8) - 8).astype(jnp.bfloat16)
+        hi = jax.lax.shift_right_arithmetic(wb, 4).astype(jnp.bfloat16)
         y = jnp.zeros((1, d), jnp.float32)
         for g in range(per_half):
             sl = slice(g * gsize, (g + 1) * gsize)
@@ -401,12 +422,14 @@ def _kernel(pos_ref, x_ref, w_ref, c_ref, *rest, heads, skip_attn,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("heads", "interpret", "skip_attn"))
+                   static_argnames=("heads", "interpret", "skip_attn",
+                                    "int4_expand"))
 def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
                       kv_cache: jnp.ndarray, bias: jnp.ndarray,
                       pos: jnp.ndarray, heads: int,
                       interpret: bool = False, skip_attn: bool = False,
-                      kv_scales: jnp.ndarray = None):
+                      kv_scales: jnp.ndarray = None,
+                      int4_expand: bool = False):
     """One full trunk step.  x (1, D) token embedding; kv_cache TIME-MAJOR
     (L, 2, 1, Tmax, D) (see `cache_to_time_major`) with Tmax % BLOCK_T == 0;
     bias (Tmax, 1) f32 additive mask over cache positions; pos scalar — the
@@ -486,7 +509,8 @@ def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
         ],
     )
     kernel = functools.partial(_kernel, heads=heads, skip_attn=skip_attn,
-                               int4_groups=int4_groups, int8_kv=int8_kv)
+                               int4_groups=int4_groups,
+                               int4_expand=int4_expand, int8_kv=int8_kv)
     args = [jnp.asarray([pos], jnp.int32), x.astype(jnp.float32),
             pack.w, pack.consts]
     if int4:
