@@ -98,6 +98,31 @@ def test_engine_tensor_parallel_matches_single():
     assert diff.max() <= 2, diff.max()
 
 
+def test_engine_replica_device_pinning():
+    """`TTSEngine.to_device` commits a replica's parameters to its chip and
+    inference runs there (serving DP: one replica per device)."""
+    from voice_tts_tpu.engine import TTSEngine
+    from voice_tts_tpu.audio import encode_wav_int16
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    prompt = encode_wav_int16(
+        (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32), sr)
+
+    devs = jax.devices()
+    eng0 = TTSEngine.tiny().to_device(devs[0])
+    eng1 = TTSEngine.tiny().to_device(devs[1])
+    w0 = jax.tree.leaves(eng0.params_gpt_rt)[0]
+    w1 = jax.tree.leaves(eng1.params_gpt_rt)[0]
+    assert w0.devices() == {devs[0]} and w1.devices() == {devs[1]}
+
+    r0 = eng0.infer(prompt, "你好")
+    r1 = eng1.infer(prompt, "你好")
+    # same seed + same input on identical replicas -> identical audio,
+    # computed on different devices
+    np.testing.assert_array_equal(r0.wav, r1.wav)
+
+
 def test_dryrun_multichip_entrypoint():
     """The driver's dp x tp training dryrun compiles and executes on the
     8-device CPU mesh (same call the round harness makes)."""

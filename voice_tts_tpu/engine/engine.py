@@ -128,6 +128,7 @@ class TTSEngine:
         # bf16 GPT runtime params for decode + teacher-forced latent
         # (reference runs fp16 autocast on the GPT only, `infer_v2.py:628,695`)
         self.fused_pack = None
+        self.device = None   # set by `to_device` (per-chip serving replicas)
         self._tp_mesh = None
         if cfg.engine.tensor_parallel > 1:
             # megatron-style TP over an ICI "tp" axis (replaces the
@@ -326,6 +327,30 @@ class TTSEngine:
         params = {"gpt": gpt_params, "s2mel": s2_params, "vocoder": voc_params,
                   "campplus": camp, "repcodec": rep, "w2v": w2v}
         return cls(cfg, params, HashTokenizer(c.gpt.number_text_tokens), extras)
+
+    def to_device(self, device) -> "TTSEngine":
+        """Commit every parameter tree to `device` so all compute for this
+        replica runs there (serving DP: one replica per chip, replacing the
+        reference's CUDA_VISIBLE_DEVICES rewrite in gunicorn `post_fork`,
+        `gunicorn_config.py:43-60`).  Uncommitted per-request inputs follow
+        the committed parameters under JAX placement rules.  No-op under
+        tensor parallelism (params carry mesh shardings)."""
+        if self._tp_mesh is not None:
+            return self
+        self.device = device
+
+        def put(tree):
+            return jax.tree.map(
+                lambda x: jax.device_put(x, device)
+                if isinstance(x, jax.Array) else x, tree)
+
+        for name in ("params", "params_gpt_rt", "params_s2mel_rt",
+                     "params_voc_rt", "fused_pack", "w2v_mean", "w2v_std"):
+            setattr(self, name, put(getattr(self, name)))
+        self._rng = jax.device_put(self._rng, device)
+        self._spk_cache.clear()
+        self._emo_cache.clear()
+        return self
 
     # ------------------------------------------------------------------
     # jitted stage graphs

@@ -64,6 +64,11 @@ class TTSService:
                 engine = TTSEngine.tiny()
             else:
                 engine = TTSEngine.random(TTSConfig())
+            if len(devices) > 1:
+                # pin replica i to chip i (otherwise every replica's
+                # parameters sit on the default device and all compute
+                # serializes onto chip 0)
+                engine.to_device(devices[i])
             self.engines.append(engine)
         logger.success("loaded %d engine replica(s) on %s", len(self.engines),
                        jax.default_backend())
