@@ -111,6 +111,15 @@ def test_normalizer_reference_cases():
     assert "XVAN4" in out and "GAN3" in out  # pinyin preserved + jqx u->v
     assert "克里斯托弗-诺兰" in n.normalize("克里斯托弗·诺兰执导")
     assert n.normalize("2002年的第一场雪") == "二零零二年的第一场雪"
+    # letter-digit boundaries read as separate words in English sentences
+    # (reference `front.py:473-476`: beta2 -> beta two, F5-TTS -> f five-tts)
+    assert n.normalize("have you ever been to beta2?") \
+        == "have you ever been to beta two?"
+    assert "F five-TTS" in n.normalize(
+        "such as XTTS, CosyVoice2, Fish-Speech, and F5-TTS")
+    # zh context keeps the compact reading (用beta1测试 -> 用beta一测试)
+    assert n.normalize("用beta1测试") == "用beta一测试"
+    assert "幺三五四五六七八九零零" in n.normalize("电话：135-4567-8900")
 
 
 def test_normalizer_ranges_units_temps():

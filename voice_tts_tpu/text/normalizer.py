@@ -269,6 +269,10 @@ def _en_verbalize(text: str) -> str:
                   lambda m: en_read_number(m.group(1)) + " percent", text)
     text = re.sub(r"\$(\d+(?:\.\d+)?)",
                   lambda m: en_read_number(m.group(1)) + " dollars", text)
+    # split letter-digit boundaries so "beta2" reads "beta two" and
+    # "F5-TTS" reads "f five-tts" (reference `front.py:473-476` cases)
+    text = re.sub(r"([a-zA-Z])(\d)", r"\1 \2", text)
+    text = re.sub(r"(\d)([a-zA-Z])", r"\1 \2", text)
     text = re.sub(r"\d+(?:\.\d+)?(?:,\d{3})*",
                   lambda m: en_read_number(m.group(0)), text)
     return text
