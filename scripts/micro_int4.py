@@ -80,10 +80,16 @@ def make_kernel(mode, d, per_half):
                  + jnp.dot(xb[:, half:], hi,
                            preferred_element_type=jnp.float32))
             y = y * gs_ref[0:1, :]
-        elif mode == "expand":
-            wb = w_ref[0].astype(jnp.int32)
-            lo = (((wb & 15) ^ 8) - 8).astype(jnp.float32)
-            hi = jax.lax.shift_right_arithmetic(wb, 4).astype(jnp.float32)
+        elif mode in ("expand", "xp8"):
+            if mode == "xp8":
+                w8 = w_ref[0]
+                lo = jax.lax.shift_right_arithmetic(
+                    jax.lax.shift_left(w8, 4), 4).astype(jnp.float32)
+                hi = jax.lax.shift_right_arithmetic(w8, 4).astype(jnp.float32)
+            else:
+                wb = w_ref[0].astype(jnp.int32)
+                lo = (((wb & 15) ^ 8) - 8).astype(jnp.float32)
+                hi = jax.lax.shift_right_arithmetic(wb, 4).astype(jnp.float32)
             # expansion matrix (half, per_half) 0/1: row r -> group r//gsize
             rows = jax.lax.broadcasted_iota(jnp.int32, (half, per_half), 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, (half, per_half), 1)
@@ -147,7 +153,7 @@ def main():
     ap.add_argument("--tiles", type=int, default=288)
     ap.add_argument("--lo", type=int, default=20)
     ap.add_argument("--hi", type=int, default=60)
-    ap.add_argument("--modes", default="dma,cur,i8sh,g2,dense,expand")
+    ap.add_argument("--modes", default="dma,cur,i8sh,g2,dense,expand,xp8")
     args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
