@@ -137,6 +137,62 @@ def test_fused_step_matches_xla(setup):
         tok_f = jnp.argmax(logits_f, axis=-1).astype(jnp.int32)
 
 
+def test_merged_stages_match_unmerged(setup):
+    """`merge_stages=True` (grid (L,4), 3 tiles/step) produces the same
+    hidden state and kv rows as the tile-per-step kernel — the tile order
+    and math are identical, only the grid grouping changes."""
+    model, qparams, pack = setup
+    p, t_max, valid, logits0, cache = _prefill(model, qparams)
+    bias = jnp.where(valid[0, :, None], 0.0, -1e30).astype(jnp.float32)
+    cache_tm = cache_to_time_major(cache)
+    tok = jnp.asarray([3], jnp.int32)
+    step = jnp.asarray(1)
+    emb = model.apply(qparams, tok, step - 1,
+                      method=UnifiedVoice.embed_decode_token)
+    hid1, kv1 = fused_decode_step(emb, pack, cache_tm, bias, p + step,
+                                  CFG.heads, interpret=True)
+    hid3, kv3 = fused_decode_step(emb, pack, cache_tm, bias, p + step,
+                                  CFG.heads, interpret=True,
+                                  merge_stages=True)
+    np.testing.assert_allclose(np.asarray(hid3), np.asarray(hid1),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(kv3, np.float32),
+                               np.asarray(kv1, np.float32),
+                               rtol=1e-6, atol=1e-5)
+
+
+def test_merged_stages_match_unmerged_int4(setup):
+    """Merged grid parity for the int4 pack (both dequant schemes)."""
+    from voice_tts_tpu.ops.fused_decode import pack_gpt_int4
+
+    model, qparams, pack = setup
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 6, 1024)),
+                        jnp.zeros((1, 6, 1024)),
+                        jnp.zeros((1, 5), dtype=jnp.int32), jnp.asarray([5]),
+                        jnp.zeros((1, 7), dtype=jnp.int32),
+                        jnp.asarray([7]), method=UnifiedVoice.init_all)
+    p4 = pack_gpt_int4(params, CFG.layers)
+    p, t_max, valid, logits0, cache = _prefill(model, qparams)
+    bias = jnp.where(valid[0, :, None], 0.0, -1e30).astype(jnp.float32)
+    cache_tm = cache_to_time_major(cache)
+    tok = jnp.asarray([3], jnp.int32)
+    step = jnp.asarray(1)
+    emb = model.apply(qparams, tok, step - 1,
+                      method=UnifiedVoice.embed_decode_token)
+    for expand in (False, True):
+        hid1, kv1 = fused_decode_step(emb, p4, cache_tm, bias, p + step,
+                                      CFG.heads, interpret=True,
+                                      int4_expand=expand)
+        hid3, kv3 = fused_decode_step(emb, p4, cache_tm, bias, p + step,
+                                      CFG.heads, interpret=True,
+                                      int4_expand=expand, merge_stages=True)
+        np.testing.assert_allclose(np.asarray(hid3), np.asarray(hid1),
+                                   rtol=1e-6, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(kv3, np.float32),
+                                   np.asarray(kv1, np.float32),
+                                   rtol=1e-6, atol=1e-5)
+
+
 def test_int4_pack_roundtrip(setup):
     """Dequantized int4 tiles reconstruct the f32 weights within the g128
     RTN quantization error bound (scale/2 per element)."""

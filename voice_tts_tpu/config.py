@@ -297,6 +297,11 @@ class EngineConfig:
     # MXU-expanded (D/2, D) scale matrix + two dense K=D/2 dots (fewer,
     # larger MXU passes; identical quantization).  A/B per hardware
     int4_expand: bool = False
+    # run the decode megakernel with 3 weight tiles per grid step
+    # (grid (L, 4) vs (L, 12)): identical numerics, ~3x less fixed
+    # per-grid-step overhead (~0.2 us/tile measured).  Costs a larger
+    # double-buffered VMEM block (int8 D=1280: ~9.8 MB of ~16 MB/core)
+    merge_decode_stages: bool = False
     # int8 KV cache inside the megakernel (per-position scales, dequant in
     # VMEM): halves the prefix DMA, which grows with context while weight
     # traffic stays flat.  Standard production KV8 — far milder than int4

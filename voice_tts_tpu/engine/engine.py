@@ -560,7 +560,8 @@ class TTSEngine:
                              text_len, rng_d, max_new=max_new,
                              fused_pack=fused_pack,
                              int8_kv=cfg.engine.use_int8_kv,
-                             int4_expand=cfg.engine.int4_expand)
+                             int4_expand=cfg.engine.int4_expand,
+                             merge_stages=cfg.engine.merge_decode_stages)
             # stop token excluded unless the row never produced one
             # (reference `infer_v2.py:676-687`)
             code_len0 = jnp.maximum(
@@ -935,7 +936,8 @@ class TTSEngine:
                              max_new=gen.max_mel_tokens,
                              fused_pack=self.fused_pack,
                              int8_kv=self.cfg.engine.use_int8_kv,
-                             int4_expand=self.cfg.engine.int4_expand)
+                             int4_expand=self.cfg.engine.int4_expand,
+                             merge_stages=self.cfg.engine.merge_decode_stages)
         elif len(jobs) == 1:
             res = beam_decode(self.params_gpt_rt, self.gpt, gen, cond, emo,
                               jnp.asarray(text), jnp.asarray(lens), sub,
@@ -1080,7 +1082,8 @@ class TTSEngine:
                              max_new=gen.max_mel_tokens,
                              fused_pack=self.fused_pack,
                              int8_kv=self.cfg.engine.use_int8_kv,
-                             int4_expand=self.cfg.engine.int4_expand)
+                             int4_expand=self.cfg.engine.int4_expand,
+                             merge_stages=self.cfg.engine.merge_decode_stages)
         else:
             res = beam_decode(self.params_gpt_rt, self.gpt, gen,
                               spk["cond_latents"], emovec, jnp.asarray(text),

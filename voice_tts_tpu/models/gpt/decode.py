@@ -144,13 +144,14 @@ class _LoopState(NamedTuple):
 
 @functools.partial(jax.jit,
                    static_argnames=("model", "gen", "max_new", "int8_kv",
-                                    "int4_expand"))
+                                    "int4_expand", "merge_stages"))
 def decode(params, model: UnifiedVoice, gen: GenerationConfig,
            cond_latents: jnp.ndarray, emo_vec: jnp.ndarray,
            text_tokens: jnp.ndarray, text_lengths: jnp.ndarray,
            rng: jax.Array, max_new: int,
            fused_pack: Optional[FusedDecodePack] = None,
-           int8_kv: bool = False, int4_expand: bool = False) -> DecodeResult:
+           int8_kv: bool = False, int4_expand: bool = False,
+           merge_stages: bool = False) -> DecodeResult:
     """Greedy/sampling AR decode (num_beams=1 path).
 
     text_tokens (B, bucket_len) right-padded; returns up to `max_new` codes.
@@ -235,7 +236,8 @@ def decode(params, model: UnifiedVoice, gen: GenerationConfig,
             kv_c, kv_s = s.cache if int8_kv else (s.cache, None)
             hidden, kv_new = fused_decode_step(
                 emb, fused_pack, kv_c, attn_bias, p + s.step, cfg.heads,
-                interpret=interp, kv_scales=kv_s, int4_expand=int4_expand)
+                interpret=interp, kv_scales=kv_s, int4_expand=int4_expand,
+                merge_stages=merge_stages)
             if int8_kv:
                 cache = apply_kv_update_q(kv_c, kv_s, kv_new, p + s.step)
             else:

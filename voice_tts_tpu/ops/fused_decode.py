@@ -215,6 +215,136 @@ def _ln(x, w, b, eps=1e-5):
     return (x - mean) * jax.lax.rsqrt(var + eps) * w + b
 
 
+def _dot_one_tile(src, w_tile, scale_row, bias_row, gs_rows,
+                  int4_groups, int4_expand):
+    """(1, D) @ one weight tile, dequant + bias in-register -> f32.
+
+    int8: one bf16 dot; `scale_row`/`bias_row` are (1, D) rows of c_ref.
+    int4: `w_tile` is (D/2, D) nibble-packed (low nibble = contraction rows
+    [0, D/2), high = [D/2, D)); `gs_rows` is the (G, D) group-scale block.
+    Two dequant schemes (see `fused_decode_step(int4_expand=...)`).
+    """
+    d = w_tile.shape[-1]
+    if not int4_groups:
+        y = jnp.dot(src.astype(jnp.bfloat16), w_tile.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        return y * scale_row + bias_row
+    wb = w_tile.astype(jnp.int32)                      # (D/2, D) packed
+    half = d // 2
+    per_half = int4_groups // 2
+    gsize = half // per_half
+    xb = src.astype(jnp.bfloat16)
+    if int4_expand:
+        # dequantize the whole tile: expand the (G, D) group scales to
+        # (D/2, D) rows via an MXU dot with a constant 0/1 expansion
+        # matrix, fold into the unpacked nibbles, then TWO dense K=D/2
+        # dots (fewer, larger MXU passes than the per-group sub-dots at
+        # the cost of the (D/2, D) elementwise scale multiply)
+        lo = (((wb & 15) ^ 8) - 8).astype(jnp.float32)
+        hi = jax.lax.shift_right_arithmetic(wb, 4).astype(jnp.float32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (half, per_half), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (half, per_half), 1)
+        e = (rows // gsize == cols).astype(jnp.float32)
+        slo = jnp.dot(e, gs_rows[:per_half],
+                      preferred_element_type=jnp.float32)
+        shi = jnp.dot(e, gs_rows[per_half:],
+                      preferred_element_type=jnp.float32)
+        y = (jnp.dot(xb[:, :half], (lo * slo).astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+             + jnp.dot(xb[:, half:], (hi * shi).astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32))
+        return y + bias_row
+    lo = (((wb & 15) ^ 8) - 8).astype(jnp.bfloat16)
+    hi = jax.lax.shift_right_arithmetic(wb, 4).astype(jnp.bfloat16)
+    y = jnp.zeros((1, d), jnp.float32)
+    for g in range(per_half):
+        sl = slice(g * gsize, (g + 1) * gsize)
+        y += (jnp.dot(xb[:, g * gsize:(g + 1) * gsize], lo[sl],
+                      preferred_element_type=jnp.float32)
+              * gs_rows[g:g + 1])
+        y += (jnp.dot(xb[:, half + g * gsize:half + (g + 1) * gsize],
+                      hi[sl], preferred_element_type=jnp.float32)
+              * gs_rows[per_half + g:per_half + g + 1])
+    return y + bias_row
+
+
+def _attend(layer, pos, heads, d, q_in, k_cur, v_cur, bias_ref, hmask_ref,
+            hmask_t_ref, cache_ref, kscale_ref, kbuf, vbuf, sem_k, sem_v,
+            int8_kv):
+    """Online-softmax attention over the [0, pos) cache prefix + the current
+    token's in-VMEM k/v.  Cache blocks stream through the 2-slot kbuf/vbuf
+    double buffer (block 0's DMA must already be in flight).  Returns the
+    (1, D) context."""
+    hd = d // heads
+    hmask = hmask_ref[...]        # (D, H) 0/1: lane -> head grouping
+    hmask_t = hmask_t_ref[...]    # (H, D)
+    q = q_in * (hd ** -0.5)       # (1, D) f32
+    n_blocks = pl.cdiv(pos, BLOCK_T)
+
+    def dma_k(j, slot):
+        return pltpu.make_async_copy(
+            cache_ref.at[layer, 0, 0, pl.ds(j * BLOCK_T, BLOCK_T), :],
+            kbuf.at[slot], sem_k.at[slot])
+
+    def dma_v(j, slot):
+        return pltpu.make_async_copy(
+            cache_ref.at[layer, 1, 0, pl.ds(j * BLOCK_T, BLOCK_T), :],
+            vbuf.at[slot], sem_v.at[slot])
+
+    def head_sum(x):    # (N, D) -> (N, H): reduce lanes within each head
+        return jnp.dot(x, hmask, preferred_element_type=jnp.float32)
+
+    def head_bcast(x):  # (N, H) -> (N, D): repeat per-head scalars
+        return jnp.dot(x, hmask_t, preferred_element_type=jnp.float32)
+
+    def step(j, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_blocks)
+        def _():
+            nxt = jax.lax.rem(j + 1, 2)
+            dma_k(j + 1, nxt).start()
+            dma_v(j + 1, nxt).start()
+
+        dma_k(j, slot).wait()
+        t0 = j * BLOCK_T
+        k = kbuf[slot].astype(jnp.float32)            # (BT, D)
+        if int8_kv:
+            k = k * kscale_ref[0, pl.ds(t0, BLOCK_T), 0:1]
+        scores = head_sum(q * k)                      # (BT, H)
+        scores = scores + bias_ref[pl.ds(t0, BLOCK_T), :]
+        row = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_T, heads), 0) + t0
+        scores = jnp.where(row < pos, scores, -jnp.inf)
+
+        m_new = jnp.maximum(m, jnp.max(scores, axis=0, keepdims=True))
+        alpha = jnp.exp(m - m_new)                    # (1, H)
+        p = jnp.exp(scores - m_new)                   # (BT, H)
+        l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+
+        dma_v(j, slot).wait()
+        v = vbuf[slot].astype(jnp.float32)            # (BT, D)
+        if int8_kv:
+            v = v * kscale_ref[0, pl.ds(t0, BLOCK_T), 1:2]
+        pv = jnp.sum(head_bcast(p) * v, axis=0, keepdims=True)  # (1, D)
+        acc_new = acc * head_bcast(alpha) + pv
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((1, heads), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((1, heads), jnp.float32)
+    a0 = jnp.zeros((1, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_blocks, step, (m0, l0, a0))
+
+    # current token (always attendable; its k/v live in VMEM)
+    s_cur = head_sum(q * k_cur)                       # (1, H)
+    m_f = jnp.maximum(m, s_cur)
+    alpha = jnp.exp(m - m_f)
+    p_cur = jnp.exp(s_cur - m_f)
+    l_f = l * alpha + p_cur
+    ctx = (acc * head_bcast(alpha) + head_bcast(p_cur) * v_cur)
+    return ctx / head_bcast(l_f)                      # (1, D)
+
+
 def _kernel(pos_ref, x_ref, w_ref, c_ref, *rest, heads, skip_attn,
             int4_groups, int4_expand, int8_kv):
     rest = list(rest)
@@ -232,57 +362,13 @@ def _kernel(pos_ref, x_ref, w_ref, c_ref, *rest, heads, skip_attn,
     pos = pos_ref[0]
 
     def dot_tile(src=None):
-        """(1, D) @ current weight tile, dequant + bias in-register -> f32.
-
-        int8: one bf16 dot with the per-output-channel scale from c_ref.
-        int4: the tile ships as (D/2, D) bytes (low nibble = contraction rows
-        [0, D/2), high = [D/2, D)); unpack via i32 shifts, then one
-        128-row sub-dot per scale group, scaled by gs_ref (group, out).
-        """
+        """(1, D) @ current weight tile (see `_dot_one_tile`)."""
         src = ln_s[...] if src is None else src
-        if not int4_groups:
-            y = jnp.dot(src.astype(jnp.bfloat16),
-                        w_ref[0, 0].astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
-            return y * c_ref[0, pl.ds(t, 1)] + c_ref[0, pl.ds(t + 12, 1)]
-        wb = w_ref[0, 0].astype(jnp.int32)                 # (D/2, D) packed
-        half = d // 2
-        per_half = int4_groups // 2
-        gsize = half // per_half
-        xb = src.astype(jnp.bfloat16)
-        if int4_expand:
-            # dequantize the whole tile: expand the (G, D) group scales to
-            # (D/2, D) rows via an MXU dot with a constant 0/1 expansion
-            # matrix, fold into the unpacked nibbles, then TWO dense
-            # K=D/2 dots (vs 2*G strided K=gsize sub-dots in the group
-            # scheme — fewer, larger MXU passes at the cost of the
-            # (D/2, D) elementwise scale multiply)
-            lo = (((wb & 15) ^ 8) - 8).astype(jnp.float32)
-            hi = jax.lax.shift_right_arithmetic(wb, 4).astype(jnp.float32)
-            rows = jax.lax.broadcasted_iota(jnp.int32, (half, per_half), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (half, per_half), 1)
-            e = (rows // gsize == cols).astype(jnp.float32)
-            slo = jnp.dot(e, gs_ref[0, 0, :per_half],
-                          preferred_element_type=jnp.float32)
-            shi = jnp.dot(e, gs_ref[0, 0, per_half:],
-                          preferred_element_type=jnp.float32)
-            y = (jnp.dot(xb[:, :half], (lo * slo).astype(jnp.bfloat16),
-                         preferred_element_type=jnp.float32)
-                 + jnp.dot(xb[:, half:], (hi * shi).astype(jnp.bfloat16),
-                           preferred_element_type=jnp.float32))
-            return y + c_ref[0, pl.ds(t + 12, 1)]
-        lo = (((wb & 15) ^ 8) - 8).astype(jnp.bfloat16)
-        hi = jax.lax.shift_right_arithmetic(wb, 4).astype(jnp.bfloat16)
-        y = jnp.zeros((1, d), jnp.float32)
-        for g in range(per_half):
-            sl = slice(g * gsize, (g + 1) * gsize)
-            y += (jnp.dot(xb[:, g * gsize:(g + 1) * gsize], lo[sl],
-                          preferred_element_type=jnp.float32)
-                  * gs_ref[0, 0, g])
-            y += (jnp.dot(xb[:, half + g * gsize:half + (g + 1) * gsize],
-                          hi[sl], preferred_element_type=jnp.float32)
-                  * gs_ref[0, 0, per_half + g])
-        return y + c_ref[0, pl.ds(t + 12, 1)]
+        return _dot_one_tile(
+            src, w_ref[0, 0], c_ref[0, pl.ds(t, 1)],
+            c_ref[0, pl.ds(t + 12, 1)],
+            gs_ref[0, 0] if int4_groups else None,
+            int4_groups, int4_expand)
 
     # ---- stage 0: load residual (first layer), LN1, q ----------------------
     @pl.when(t == 0)
@@ -321,74 +407,9 @@ def _kernel(pos_ref, x_ref, w_ref, c_ref, *rest, heads, skip_attn,
             ln_s[...] = v_s[...] * 1e-3   # debug: stand-in for attention
             x_s[...] = x_s[...] + dot_tile()
             return
-        hmask = hmask_ref[...]        # (D, H) 0/1: lane -> head grouping
-        hmask_t = hmask_t_ref[...]    # (H, D)
-        q = q_s[...] * (hd ** -0.5)   # (1, D) f32
-        n_blocks = pl.cdiv(pos, BLOCK_T)
-
-        def dma_k(j, slot):
-            return pltpu.make_async_copy(
-                cache_ref.at[layer, 0, 0, pl.ds(j * BLOCK_T, BLOCK_T), :],
-                kbuf.at[slot], sem_k.at[slot])
-
-        def dma_v(j, slot):
-            return pltpu.make_async_copy(
-                cache_ref.at[layer, 1, 0, pl.ds(j * BLOCK_T, BLOCK_T), :],
-                vbuf.at[slot], sem_v.at[slot])
-
-        def head_sum(x):    # (N, D) -> (N, H): reduce lanes within each head
-            return jnp.dot(x, hmask, preferred_element_type=jnp.float32)
-
-        def head_bcast(x):  # (N, H) -> (N, D): repeat per-head scalars
-            return jnp.dot(x, hmask_t, preferred_element_type=jnp.float32)
-
-        def step(j, carry):
-            m, l, acc = carry
-            slot = jax.lax.rem(j, 2)
-
-            @pl.when(j + 1 < n_blocks)
-            def _():
-                nxt = jax.lax.rem(j + 1, 2)
-                dma_k(j + 1, nxt).start()
-                dma_v(j + 1, nxt).start()
-
-            dma_k(j, slot).wait()
-            t0 = j * BLOCK_T
-            k = kbuf[slot].astype(jnp.float32)            # (BT, D)
-            if int8_kv:
-                k = k * kscale_ref[0, pl.ds(t0, BLOCK_T), 0:1]
-            scores = head_sum(q * k)                      # (BT, H)
-            scores = scores + bias_ref[pl.ds(t0, BLOCK_T), :]
-            row = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_T, heads), 0) + t0
-            scores = jnp.where(row < pos, scores, -jnp.inf)
-
-            m_new = jnp.maximum(m, jnp.max(scores, axis=0, keepdims=True))
-            alpha = jnp.exp(m - m_new)                    # (1, H)
-            p = jnp.exp(scores - m_new)                   # (BT, H)
-            l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
-
-            dma_v(j, slot).wait()
-            v = vbuf[slot].astype(jnp.float32)            # (BT, D)
-            if int8_kv:
-                v = v * kscale_ref[0, pl.ds(t0, BLOCK_T), 1:2]
-            pv = jnp.sum(head_bcast(p) * v, axis=0, keepdims=True)  # (1, D)
-            acc_new = acc * head_bcast(alpha) + pv
-            return m_new, l_new, acc_new
-
-        m0 = jnp.full((1, heads), -jnp.inf, jnp.float32)
-        l0 = jnp.zeros((1, heads), jnp.float32)
-        a0 = jnp.zeros((1, d), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, n_blocks, step, (m0, l0, a0))
-
-        # current token (always attendable; its k/v live in VMEM)
-        s_cur = head_sum(q * k_s[...])                    # (1, H)
-        m_f = jnp.maximum(m, s_cur)
-        alpha = jnp.exp(m - m_f)
-        p_cur = jnp.exp(s_cur - m_f)
-        l_f = l * alpha + p_cur
-        ctx = (acc * head_bcast(alpha) + head_bcast(p_cur) * v_s[...])
-        ctx = ctx / head_bcast(l_f)                       # (1, D)
-
+        ctx = _attend(layer, pos, heads, d, q_s[...], k_s[...], v_s[...],
+                      bias_ref, hmask_ref, hmask_t_ref, cache_ref,
+                      kscale_ref, kbuf, vbuf, sem_k, sem_v, int8_kv)
         ln_s[...] = ctx                 # reuse ln_s as the proj input
         x_s[...] = x_s[...] + dot_tile()
 
@@ -421,15 +442,103 @@ def _kernel(pos_ref, x_ref, w_ref, c_ref, *rest, heads, skip_attn,
             y_ref[...] = x_s[...]
 
 
+def _kernel_merged(pos_ref, x_ref, w_ref, c_ref, *rest, heads, skip_attn,
+                   int4_groups, int4_expand, int8_kv):
+    """3-tiles-per-program variant of `_kernel`: grid (L, 4) instead of
+    (L, 12).  Measured per-tile streaming carries ~0.2 us of fixed
+    per-grid-step cost (scripts/micro_tile.py: 2.21 vs 2.0 us/tile ideal at
+    int8); merging amortizes it 3x while Pallas still double-buffers the
+    (now 3-tile) weight block.  Tile semantics and numerics are identical —
+    groups are {q,k,v}, {proj,fc0,fc1}, {fc2,fc3,fc2p0}, {fc2p1..3}, which
+    respects every data dependency (attention runs at the top of group 1).
+    """
+    rest = list(rest)
+    gs_ref = rest.pop(0) if int4_groups else None
+    bias_ref, hmask_ref, hmask_t_ref, cache_ref = rest[:4]
+    rest = rest[4:]
+    kscale_ref = rest.pop(0) if int8_kv else None
+    (y_ref, kv_ref, x_s, ln_s, q_s, k_s, v_s, h_s, acc_s, kbuf, vbuf,
+     sem_k, sem_v) = rest
+    layer = pl.program_id(0)
+    g = pl.program_id(1)
+    n_layers = pl.num_programs(0)
+    d = x_ref.shape[1]
+    pos = pos_ref[0]
+
+    def dot(src, t_global):
+        j = t_global % 3
+        return _dot_one_tile(
+            src, w_ref[0, j], c_ref[0, pl.ds(t_global, 1)],
+            c_ref[0, pl.ds(t_global + 12, 1)],
+            gs_ref[0, j] if int4_groups else None,
+            int4_groups, int4_expand)
+
+    # ---- group 0: load residual, LN1, q/k/v ---------------------------------
+    @pl.when(g == 0)
+    def _():
+        @pl.when(layer == 0)
+        def _():
+            x_s[...] = x_ref[...].astype(jnp.float32)
+        ln_s[...] = _ln(x_s[...], c_ref[0, 24:25], c_ref[0, 25:26])
+        if not skip_attn:
+            pltpu.make_async_copy(
+                cache_ref.at[layer, 0, 0, pl.ds(0, BLOCK_T), :],
+                kbuf.at[0], sem_k.at[0]).start()
+            pltpu.make_async_copy(
+                cache_ref.at[layer, 1, 0, pl.ds(0, BLOCK_T), :],
+                vbuf.at[0], sem_v.at[0]).start()
+        q_s[...] = dot(ln_s[...], 0)
+        k = dot(ln_s[...], 1)
+        k_s[...] = k
+        kv_ref[0, 0] = k[0].astype(kv_ref.dtype)
+        v = dot(ln_s[...], 2)
+        v_s[...] = v
+        kv_ref[0, 1] = v[0].astype(kv_ref.dtype)
+
+    # ---- group 1: attention, proj, LN2, fc0/fc1 -----------------------------
+    @pl.when(g == 1)
+    def _():
+        if skip_attn:
+            ctx = v_s[...] * 1e-3
+        else:
+            ctx = _attend(layer, pos, heads, d, q_s[...], k_s[...], v_s[...],
+                          bias_ref, hmask_ref, hmask_t_ref, cache_ref,
+                          kscale_ref, kbuf, vbuf, sem_k, sem_v, int8_kv)
+        x_s[...] = x_s[...] + dot(ctx, 3)
+        ln_s[...] = _ln(x_s[...], c_ref[0, 26:27], c_ref[0, 27:28])
+        h_s[0:1] = jax.nn.gelu(dot(ln_s[...], 4), approximate=True)
+        h_s[1:2] = jax.nn.gelu(dot(ln_s[...], 5), approximate=True)
+
+    # ---- group 2: fc2/fc3, first down-projection partial --------------------
+    @pl.when(g == 2)
+    def _():
+        h_s[2:3] = jax.nn.gelu(dot(ln_s[...], 6), approximate=True)
+        h_s[3:4] = jax.nn.gelu(dot(ln_s[...], 7), approximate=True)
+        acc_s[...] = dot(h_s[0:1], 8)
+
+    # ---- group 3: remaining down-projection partials, residual add ----------
+    @pl.when(g == 3)
+    def _():
+        acc = acc_s[...] + dot(h_s[1:2], 9)
+        acc = acc + dot(h_s[2:3], 10)
+        acc_s[...] = acc + dot(h_s[3:4], 11)
+        x_s[...] = x_s[...] + acc_s[...]
+
+        @pl.when(layer == n_layers - 1)
+        def _():
+            y_ref[...] = x_s[...]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("heads", "interpret", "skip_attn",
-                                    "int4_expand"))
+                                    "int4_expand", "merge_stages"))
 def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
                       kv_cache: jnp.ndarray, bias: jnp.ndarray,
                       pos: jnp.ndarray, heads: int,
                       interpret: bool = False, skip_attn: bool = False,
                       kv_scales: jnp.ndarray = None,
-                      int4_expand: bool = False):
+                      int4_expand: bool = False,
+                      merge_stages: bool = False):
     """One full trunk step.  x (1, D) token embedding; kv_cache TIME-MAJOR
     (L, 2, 1, Tmax, D) (see `cache_to_time_major`) with Tmax % BLOCK_T == 0;
     bias (Tmax, 1) f32 additive mask over cache positions; pos scalar — the
@@ -443,6 +552,11 @@ def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
     (see `quantize_kv_cache`); the attention stage dequantizes each cache
     block in VMEM (half the per-step cache DMA).  kv_new comes back f32 —
     quantize with `quantize_kv_rows` before `apply_kv_update_q`.
+
+    `merge_stages`: run 3 weight tiles per grid step (grid (L, 4) instead
+    of (L, 12), see `_kernel_merged`) — same numerics, ~3x less fixed
+    per-grid-step overhead; VMEM holds a double-buffered 3-tile block
+    (int8 D=1280: ~9.8 MB of ~16 MB/core).
     """
     l, _, b, t_max, d = kv_cache.shape
     int8_kv = kv_scales is not None
@@ -458,17 +572,19 @@ def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
     int4 = isinstance(pack, FusedDecodePackInt4)
     int4_groups = d // group_size(d) if int4 else 0
     w_rows = d // 2 if int4 else d
+    tpg = 3 if merge_stages else 1     # weight tiles per grid step
     in_specs = [
         pl.BlockSpec((1, d), lambda i, t, s: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, w_rows, d), lambda i, t, s: (i, t, 0, 0),
+        pl.BlockSpec((1, tpg, w_rows, d), lambda i, t, s: (i, t, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 28, d), lambda i, t, s: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     if int4:
         in_specs.append(
-            pl.BlockSpec((1, 1, int4_groups, d), lambda i, t, s: (i, t, 0, 0),
+            pl.BlockSpec((1, tpg, int4_groups, d),
+                         lambda i, t, s: (i, t, 0, 0),
                          memory_space=pltpu.VMEM))
     in_specs += [
         pl.BlockSpec((t_max, 1), lambda i, t, s: (0, 0),
@@ -486,7 +602,7 @@ def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(l, TILES_PER_LAYER),
+        grid=(l, TILES_PER_LAYER // tpg),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, d), lambda i, t, s: (0, 0),
@@ -508,7 +624,8 @@ def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
             pltpu.SemaphoreType.DMA((2,)),            # sem_v
         ],
     )
-    kernel = functools.partial(_kernel, heads=heads, skip_attn=skip_attn,
+    kernel = functools.partial(_kernel_merged if merge_stages else _kernel,
+                               heads=heads, skip_attn=skip_attn,
                                int4_groups=int4_groups,
                                int4_expand=int4_expand, int8_kv=int8_kv)
     args = [jnp.asarray([pos], jnp.int32), x.astype(jnp.float32),
