@@ -51,9 +51,9 @@ def build_engine(tiny: bool):
     cfg.engine.use_int4_decode = os.environ.get("INT4_DECODE", "0") == "1"
     # int4 dequant scheme A/B (INT4_EXPAND=1: whole-tile MXU dequant)
     cfg.engine.int4_expand = os.environ.get("INT4_EXPAND", "0") == "1"
-    # megakernel grid A/B (MERGE_STAGES=1: 3 weight tiles per grid step)
-    cfg.engine.merge_decode_stages = (
-        os.environ.get("MERGE_STAGES", "0") == "1")
+    # megakernel grid A/B (MERGE_STAGES=3 or 6 weight tiles per grid step)
+    ms = os.environ.get("MERGE_STAGES", "0")
+    cfg.engine.merge_decode_stages = 3 if ms == "1" else int(ms)
     # int8 KV cache in the megakernel (per-position scales)
     cfg.engine.use_int8_kv = os.environ.get("INT8_KV", "0") == "1"
     # bf16 s2mel/DiT compute (f32 softmax/LN stats); measured perf-neutral

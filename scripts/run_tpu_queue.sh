@@ -45,9 +45,10 @@ run micro_int4 python scripts/micro_int4.py
 run bench_int4 env INT4_DECODE=1 python bench.py
 run bench_int4x env INT4_DECODE=1 INT4_EXPAND=1 python bench.py
 
-# 4b. merged-grid megakernel (3 tiles/step): int8 and the best int4 scheme
-run bench_merge env MERGE_STAGES=1 python bench.py
-run bench_int4m env INT4_DECODE=1 MERGE_STAGES=1 python bench.py
+# 4b. merged-grid megakernel: int8 at 3 tiles/step, int4 at 3 and 6
+run bench_merge env MERGE_STAGES=3 python bench.py
+run bench_int4m env INT4_DECODE=1 MERGE_STAGES=3 python bench.py
+run bench_int4m6 env INT4_DECODE=1 MERGE_STAGES=6 python bench.py
 
 # 5. serving A/B: int8 KV cache on the batched XLA path
 run serving_base python bench_serving.py

@@ -179,13 +179,13 @@ def test_merged_stages_match_unmerged_int4(setup):
     step = jnp.asarray(1)
     emb = model.apply(qparams, tok, step - 1,
                       method=UnifiedVoice.embed_decode_token)
-    for expand in (False, True):
+    for expand, tpg in ((False, 3), (True, 3), (False, 6)):
         hid1, kv1 = fused_decode_step(emb, p4, cache_tm, bias, p + step,
                                       CFG.heads, interpret=True,
                                       int4_expand=expand)
         hid3, kv3 = fused_decode_step(emb, p4, cache_tm, bias, p + step,
                                       CFG.heads, interpret=True,
-                                      int4_expand=expand, merge_stages=True)
+                                      int4_expand=expand, merge_stages=tpg)
         np.testing.assert_allclose(np.asarray(hid3), np.asarray(hid1),
                                    rtol=1e-6, atol=1e-5)
         np.testing.assert_allclose(np.asarray(kv3, np.float32),

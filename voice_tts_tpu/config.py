@@ -297,11 +297,12 @@ class EngineConfig:
     # MXU-expanded (D/2, D) scale matrix + two dense K=D/2 dots (fewer,
     # larger MXU passes; identical quantization).  A/B per hardware
     int4_expand: bool = False
-    # run the decode megakernel with 3 weight tiles per grid step
-    # (grid (L, 4) vs (L, 12)): identical numerics, ~3x less fixed
-    # per-grid-step overhead (~0.2 us/tile measured).  Costs a larger
-    # double-buffered VMEM block (int8 D=1280: ~9.8 MB of ~16 MB/core)
-    merge_decode_stages: bool = False
+    # run the decode megakernel with N weight tiles per grid step (0 = one
+    # tile/step; 3 or 6 = grid (L, 12/N)): identical numerics, N x less
+    # fixed per-grid-step overhead (~0.2 us/tile measured).  Costs a larger
+    # double-buffered VMEM block (int8 D=1280 N=3: ~9.8 MB of ~16 MB/core;
+    # N=6 only fits the nibble-packed int4 tiles)
+    merge_decode_stages: int = 0
     # int8 KV cache inside the megakernel (per-position scales, dequant in
     # VMEM): halves the prefix DMA, which grows with context while weight
     # traffic stays flat.  Standard production KV8 — far milder than int4

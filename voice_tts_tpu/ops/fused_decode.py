@@ -443,14 +443,15 @@ def _kernel(pos_ref, x_ref, w_ref, c_ref, *rest, heads, skip_attn,
 
 
 def _kernel_merged(pos_ref, x_ref, w_ref, c_ref, *rest, heads, skip_attn,
-                   int4_groups, int4_expand, int8_kv):
-    """3-tiles-per-program variant of `_kernel`: grid (L, 4) instead of
-    (L, 12).  Measured per-tile streaming carries ~0.2 us of fixed
-    per-grid-step cost (scripts/micro_tile.py: 2.21 vs 2.0 us/tile ideal at
-    int8); merging amortizes it 3x while Pallas still double-buffers the
-    (now 3-tile) weight block.  Tile semantics and numerics are identical —
-    groups are {q,k,v}, {proj,fc0,fc1}, {fc2,fc3,fc2p0}, {fc2p1..3}, which
-    respects every data dependency (attention runs at the top of group 1).
+                   int4_groups, int4_expand, int8_kv, tpg):
+    """`tpg`-tiles-per-program variant of `_kernel`: grid (L, 12/tpg).
+    Measured per-tile streaming carries ~0.2 us of fixed per-grid-step cost
+    (scripts/micro_tile.py: 2.21 vs 2.0 us/tile ideal at int8); merging
+    amortizes it `tpg`x while Pallas still double-buffers the (now
+    multi-tile) weight block.  Tile order and numerics are identical to the
+    unmerged kernel — the per-tile actions below run in tile order within
+    each group, which respects every data dependency (attention runs right
+    before the proj tile; ln2 right after the proj residual add).
     """
     rest = list(rest)
     gs_ref = rest.pop(0) if int4_groups else None
@@ -466,67 +467,67 @@ def _kernel_merged(pos_ref, x_ref, w_ref, c_ref, *rest, heads, skip_attn,
     pos = pos_ref[0]
 
     def dot(src, t_global):
-        j = t_global % 3
+        j = t_global % tpg
         return _dot_one_tile(
             src, w_ref[0, j], c_ref[0, pl.ds(t_global, 1)],
             c_ref[0, pl.ds(t_global + 12, 1)],
             gs_ref[0, j] if int4_groups else None,
             int4_groups, int4_expand)
 
-    # ---- group 0: load residual, LN1, q/k/v ---------------------------------
-    @pl.when(g == 0)
-    def _():
-        @pl.when(layer == 0)
-        def _():
-            x_s[...] = x_ref[...].astype(jnp.float32)
-        ln_s[...] = _ln(x_s[...], c_ref[0, 24:25], c_ref[0, 25:26])
-        if not skip_attn:
-            pltpu.make_async_copy(
-                cache_ref.at[layer, 0, 0, pl.ds(0, BLOCK_T), :],
-                kbuf.at[0], sem_k.at[0]).start()
-            pltpu.make_async_copy(
-                cache_ref.at[layer, 1, 0, pl.ds(0, BLOCK_T), :],
-                vbuf.at[0], sem_v.at[0]).start()
-        q_s[...] = dot(ln_s[...], 0)
-        k = dot(ln_s[...], 1)
-        k_s[...] = k
-        kv_ref[0, 0] = k[0].astype(kv_ref.dtype)
-        v = dot(ln_s[...], 2)
-        v_s[...] = v
-        kv_ref[0, 1] = v[0].astype(kv_ref.dtype)
+    def action(t):
+        """The unmerged kernel's stage-t work (same order, same math)."""
+        if t == 0:
+            @pl.when(layer == 0)
+            def _():
+                x_s[...] = x_ref[...].astype(jnp.float32)
+            ln_s[...] = _ln(x_s[...], c_ref[0, 24:25], c_ref[0, 25:26])
+            if not skip_attn:
+                pltpu.make_async_copy(
+                    cache_ref.at[layer, 0, 0, pl.ds(0, BLOCK_T), :],
+                    kbuf.at[0], sem_k.at[0]).start()
+                pltpu.make_async_copy(
+                    cache_ref.at[layer, 1, 0, pl.ds(0, BLOCK_T), :],
+                    vbuf.at[0], sem_v.at[0]).start()
+            q_s[...] = dot(ln_s[...], 0)
+        elif t == 1:
+            k = dot(ln_s[...], 1)
+            k_s[...] = k
+            kv_ref[0, 0] = k[0].astype(kv_ref.dtype)
+        elif t == 2:
+            v = dot(ln_s[...], 2)
+            v_s[...] = v
+            kv_ref[0, 1] = v[0].astype(kv_ref.dtype)
+        elif t == 3:
+            if skip_attn:
+                ctx = v_s[...] * 1e-3
+            else:
+                ctx = _attend(layer, pos, heads, d, q_s[...], k_s[...],
+                              v_s[...], bias_ref, hmask_ref, hmask_t_ref,
+                              cache_ref, kscale_ref, kbuf, vbuf, sem_k,
+                              sem_v, int8_kv)
+            x_s[...] = x_s[...] + dot(ctx, 3)
+            ln_s[...] = _ln(x_s[...], c_ref[0, 26:27], c_ref[0, 27:28])
+        elif t in (4, 5, 6, 7):
+            h_s[t - 4:t - 3] = jax.nn.gelu(dot(ln_s[...], t),
+                                           approximate=True)
+        else:  # 8..11: down-projection partials over the h_s row tiles
+            part = dot(h_s[t - 8:t - 7], t)
+            if t == 8:
+                acc_s[...] = part
+            else:
+                acc_s[...] = acc_s[...] + part
+            if t == 11:
+                x_s[...] = x_s[...] + acc_s[...]
 
-    # ---- group 1: attention, proj, LN2, fc0/fc1 -----------------------------
-    @pl.when(g == 1)
-    def _():
-        if skip_attn:
-            ctx = v_s[...] * 1e-3
-        else:
-            ctx = _attend(layer, pos, heads, d, q_s[...], k_s[...], v_s[...],
-                          bias_ref, hmask_ref, hmask_t_ref, cache_ref,
-                          kscale_ref, kbuf, vbuf, sem_k, sem_v, int8_kv)
-        x_s[...] = x_s[...] + dot(ctx, 3)
-        ln_s[...] = _ln(x_s[...], c_ref[0, 26:27], c_ref[0, 27:28])
-        h_s[0:1] = jax.nn.gelu(dot(ln_s[...], 4), approximate=True)
-        h_s[1:2] = jax.nn.gelu(dot(ln_s[...], 5), approximate=True)
+                @pl.when(layer == n_layers - 1)
+                def _():
+                    y_ref[...] = x_s[...]
 
-    # ---- group 2: fc2/fc3, first down-projection partial --------------------
-    @pl.when(g == 2)
-    def _():
-        h_s[2:3] = jax.nn.gelu(dot(ln_s[...], 6), approximate=True)
-        h_s[3:4] = jax.nn.gelu(dot(ln_s[...], 7), approximate=True)
-        acc_s[...] = dot(h_s[0:1], 8)
-
-    # ---- group 3: remaining down-projection partials, residual add ----------
-    @pl.when(g == 3)
-    def _():
-        acc = acc_s[...] + dot(h_s[1:2], 9)
-        acc = acc + dot(h_s[2:3], 10)
-        acc_s[...] = acc + dot(h_s[3:4], 11)
-        x_s[...] = x_s[...] + acc_s[...]
-
-        @pl.when(layer == n_layers - 1)
-        def _():
-            y_ref[...] = x_s[...]
+    for grp in range(TILES_PER_LAYER // tpg):
+        @pl.when(g == grp)
+        def _(grp=grp):
+            for j in range(tpg):
+                action(grp * tpg + j)
 
 
 @functools.partial(jax.jit,
@@ -553,10 +554,11 @@ def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
     block in VMEM (half the per-step cache DMA).  kv_new comes back f32 —
     quantize with `quantize_kv_rows` before `apply_kv_update_q`.
 
-    `merge_stages`: run 3 weight tiles per grid step (grid (L, 4) instead
-    of (L, 12), see `_kernel_merged`) — same numerics, ~3x less fixed
-    per-grid-step overhead; VMEM holds a double-buffered 3-tile block
-    (int8 D=1280: ~9.8 MB of ~16 MB/core).
+    `merge_stages`: run several weight tiles per grid step (True == 3;
+    or an int in {3, 6}, grid (L, 12/tpg), see `_kernel_merged`) — same
+    numerics, proportionally less fixed per-grid-step overhead; VMEM
+    holds a double-buffered tpg-tile block (int8 D=1280 tpg=3: ~9.8 MB
+    of ~16 MB/core; tpg=6 only fits the nibble-packed int4 tiles).
     """
     l, _, b, t_max, d = kv_cache.shape
     int8_kv = kv_scales is not None
@@ -572,7 +574,9 @@ def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
     int4 = isinstance(pack, FusedDecodePackInt4)
     int4_groups = d // group_size(d) if int4 else 0
     w_rows = d // 2 if int4 else d
-    tpg = 3 if merge_stages else 1     # weight tiles per grid step
+    # weight tiles per grid step (True == 3 for backward compat)
+    tpg = (3 if merge_stages is True else int(merge_stages)) or 1
+    assert TILES_PER_LAYER % tpg == 0, f"tiles/step {tpg} must divide 12"
     in_specs = [
         pl.BlockSpec((1, d), lambda i, t, s: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -624,10 +628,14 @@ def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
             pltpu.SemaphoreType.DMA((2,)),            # sem_v
         ],
     )
-    kernel = functools.partial(_kernel_merged if merge_stages else _kernel,
-                               heads=heads, skip_attn=skip_attn,
+    kernel = functools.partial(_kernel, heads=heads, skip_attn=skip_attn,
                                int4_groups=int4_groups,
                                int4_expand=int4_expand, int8_kv=int8_kv)
+    if tpg > 1:
+        kernel = functools.partial(
+            _kernel_merged, heads=heads, skip_attn=skip_attn,
+            int4_groups=int4_groups, int4_expand=int4_expand,
+            int8_kv=int8_kv, tpg=tpg)
     args = [jnp.asarray([pos], jnp.int32), x.astype(jnp.float32),
             pack.w, pack.consts]
     if int4:
