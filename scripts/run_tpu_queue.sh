@@ -8,11 +8,20 @@ cd /root/repo
 
 probe() {
     timeout 1800 python - <<'EOF'
-import time, jax, jax.numpy as jnp
-t0 = time.time()
-d = jax.devices()
-print("devices:", d, "init_s:", round(time.time() - t0, 1), flush=True)
-print("sum:", float(jnp.sum(jnp.ones((8, 128)))), flush=True)
+import os, time, traceback
+# the axon client leaves non-daemon threads behind on a failed claim, so a
+# plain exception would hang the interpreter until the outer timeout —
+# force the exit code either way
+try:
+    import jax, jax.numpy as jnp
+    t0 = time.time()
+    d = jax.devices()
+    print("devices:", d, "init_s:", round(time.time() - t0, 1), flush=True)
+    print("sum:", float(jnp.sum(jnp.ones((8, 128)))), flush=True)
+except Exception:
+    traceback.print_exc()
+    os._exit(1)
+os._exit(0)
 EOF
 }
 
