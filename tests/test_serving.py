@@ -72,6 +72,8 @@ def test_root_and_health(server):
     assert status == 200 and data["status"] == "healthy"
     status, data = _request(server, "GET", "/debug/worker-info")
     assert status == 200 and data["model_info"]["loaded"] is True
+    assert len(data["replicas"]) == data["model_info"]["replicas"]
+    assert {"replica", "device", "tensor_parallel"} <= set(data["replicas"][0])
 
 
 def test_tts_roundtrip(server):

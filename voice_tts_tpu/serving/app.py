@@ -157,6 +157,16 @@ class TTSService:
                     "loaded": bool(self.engines),
                     "replicas": len(self.engines),
                 },
+                # per-replica chip pinning (the reference endpoint exists to
+                # validate gunicorn's CUDA_VISIBLE_DEVICES pinning,
+                # `server.py:262-317`; here it reports `to_device` placement)
+                "replicas": [
+                    {"replica": i,
+                     "device": (str(e.device) if e.device is not None
+                                else "default"),
+                     "tensor_parallel": e.cfg.engine.tensor_parallel}
+                    for i, e in enumerate(self.engines)
+                ],
             })
 
         @s.route("GET", "/metrics")
