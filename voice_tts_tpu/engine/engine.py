@@ -144,12 +144,14 @@ class TTSEngine:
                 raise ValueError(
                     f"tensor_parallel={tp} but only {len(devs)} devices")
             self._tp_mesh = make_mesh(("tp",), devices=devs[:tp])
-            cfg.engine.use_int8_decode = False
-            cfg.engine.use_fused_decode = False
-        if cfg.engine.use_int8_decode:
+        # effective fast-path flags (decided locally — never written back to
+        # the caller's cfg, which may be shared across engines)
+        use_int8 = cfg.engine.use_int8_decode and self._tp_mesh is None
+        use_fused = cfg.engine.use_fused_decode and self._tp_mesh is None
+        if use_int8:
             from voice_tts_tpu.utils.quantize import quantize_gpt_params
             self.params_gpt_rt = quantize_gpt_params(params["gpt"])
-            if cfg.engine.use_fused_decode:
+            if use_fused:
                 if cfg.engine.use_int4_decode:
                     # int4 tiles quantize from the ORIGINAL f32 weights
                     from voice_tts_tpu.ops.fused_decode import pack_gpt_int4
@@ -339,14 +341,32 @@ class TTSEngine:
             return self
         self.device = device
 
+        # memoize by array identity: params_*_rt trees alias params[...]
+        # under default flags, and device_put-ing aliases independently
+        # would duplicate every weight buffer on the chip
+        moved: Dict[int, jax.Array] = {}
+
+        def put_arr(x):
+            if not isinstance(x, jax.Array):
+                return x
+            key = id(x)
+            if key not in moved:
+                moved[key] = jax.device_put(x, device)
+            return moved[key]
+
         def put(tree):
-            return jax.tree.map(
-                lambda x: jax.device_put(x, device)
-                if isinstance(x, jax.Array) else x, tree)
+            return jax.tree.map(put_arr, tree)
 
         for name in ("params", "params_gpt_rt", "params_s2mel_rt",
                      "params_voc_rt", "fused_pack", "w2v_mean", "w2v_std"):
             setattr(self, name, put(getattr(self, name)))
+        # frontend filter constants (mel basis, fbank windows, resampler
+        # taps) are uncommitted arrays on the default device; without a
+        # committed operand their jitted transforms would all run on chip 0
+        for obj in (self.mel_fn, self.seamless, self.fbank,
+                    *self._resamplers.values()):
+            for attr, val in list(vars(obj).items()):
+                setattr(obj, attr, put(val))
         self._rng = jax.device_put(self._rng, device)
         self._spk_cache.clear()
         self._emo_cache.clear()

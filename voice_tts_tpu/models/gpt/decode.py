@@ -151,7 +151,7 @@ def decode(params, model: UnifiedVoice, gen: GenerationConfig,
            rng: jax.Array, max_new: int,
            fused_pack: Optional[FusedDecodePack] = None,
            int8_kv: bool = False, int4_expand: bool = False,
-           merge_stages: bool = False) -> DecodeResult:
+           merge_stages: bool | int = False) -> DecodeResult:
     """Greedy/sampling AR decode (num_beams=1 path).
 
     text_tokens (B, bucket_len) right-padded; returns up to `max_new` codes.

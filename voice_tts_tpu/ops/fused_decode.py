@@ -345,103 +345,6 @@ def _attend(layer, pos, heads, d, q_in, k_cur, v_cur, bias_ref, hmask_ref,
     return ctx / head_bcast(l_f)                      # (1, D)
 
 
-def _kernel(pos_ref, x_ref, w_ref, c_ref, *rest, heads, skip_attn,
-            int4_groups, int4_expand, int8_kv):
-    rest = list(rest)
-    gs_ref = rest.pop(0) if int4_groups else None
-    bias_ref, hmask_ref, hmask_t_ref, cache_ref = rest[:4]
-    rest = rest[4:]
-    kscale_ref = rest.pop(0) if int8_kv else None
-    (y_ref, kv_ref, x_s, ln_s, q_s, k_s, v_s, h_s, acc_s, kbuf, vbuf,
-     sem_k, sem_v) = rest
-    layer = pl.program_id(0)
-    t = pl.program_id(1)
-    n_layers = pl.num_programs(0)
-    d = x_ref.shape[1]
-    hd = d // heads
-    pos = pos_ref[0]
-
-    def dot_tile(src=None):
-        """(1, D) @ current weight tile (see `_dot_one_tile`)."""
-        src = ln_s[...] if src is None else src
-        return _dot_one_tile(
-            src, w_ref[0, 0], c_ref[0, pl.ds(t, 1)],
-            c_ref[0, pl.ds(t + 12, 1)],
-            gs_ref[0, 0] if int4_groups else None,
-            int4_groups, int4_expand)
-
-    # ---- stage 0: load residual (first layer), LN1, q ----------------------
-    @pl.when(t == 0)
-    def _():
-        @pl.when(layer == 0)
-        def _():
-            x_s[...] = x_ref[...].astype(jnp.float32)
-        ln_s[...] = _ln(x_s[...], c_ref[0, 24:25], c_ref[0, 25:26])
-        if not skip_attn:
-            # prefetch KV block 0 for this layer's attention (stage 3)
-            pltpu.make_async_copy(
-                cache_ref.at[layer, 0, 0, pl.ds(0, BLOCK_T), :],
-                kbuf.at[0], sem_k.at[0]).start()
-            pltpu.make_async_copy(
-                cache_ref.at[layer, 1, 0, pl.ds(0, BLOCK_T), :],
-                vbuf.at[0], sem_v.at[0]).start()
-        q_s[...] = dot_tile()
-
-    # ---- stages 1, 2: k, v (returned to the caller for the cache update) ---
-    @pl.when(t == 1)
-    def _():
-        k = dot_tile()
-        k_s[...] = k
-        kv_ref[0, 0] = k[0].astype(kv_ref.dtype)
-
-    @pl.when(t == 2)
-    def _():
-        v = dot_tile()
-        v_s[...] = v
-        kv_ref[0, 1] = v[0].astype(kv_ref.dtype)
-
-    # ---- stage 3: attention over [0, pos) + current token, then proj -------
-    @pl.when(t == 3)
-    def _():
-        if skip_attn:
-            ln_s[...] = v_s[...] * 1e-3   # debug: stand-in for attention
-            x_s[...] = x_s[...] + dot_tile()
-            return
-        ctx = _attend(layer, pos, heads, d, q_s[...], k_s[...], v_s[...],
-                      bias_ref, hmask_ref, hmask_t_ref, cache_ref,
-                      kscale_ref, kbuf, vbuf, sem_k, sem_v, int8_kv)
-        ln_s[...] = ctx                 # reuse ln_s as the proj input
-        x_s[...] = x_s[...] + dot_tile()
-
-    # ---- stages 4..7: MLP up-projection tiles -------------------------------
-    @pl.when(t == 4)
-    def _():
-        ln_s[...] = _ln(x_s[...], c_ref[0, 26:27], c_ref[0, 27:28])
-
-    for j in range(4):
-        @pl.when(t == 4 + j)
-        def _(j=j):
-            h_s[j:j + 1] = jax.nn.gelu(dot_tile(), approximate=True)
-
-    # ---- stages 8..11: MLP down-projection (accumulate over row tiles) -----
-    for j in range(4):
-        @pl.when(t == 8 + j)
-        def _(j=j):
-            part = dot_tile(src=h_s[j:j + 1])
-            if j == 0:
-                acc_s[...] = part
-            else:
-                acc_s[...] = acc_s[...] + part
-
-    @pl.when(t == 11)
-    def _():
-        x_s[...] = x_s[...] + acc_s[...]
-
-        @pl.when(layer == n_layers - 1)
-        def _():
-            y_ref[...] = x_s[...]
-
-
 def _kernel_merged(pos_ref, x_ref, w_ref, c_ref, *rest, heads, skip_attn,
                    int4_groups, int4_expand, int8_kv, tpg):
     """`tpg`-tiles-per-program variant of `_kernel`: grid (L, 12/tpg).
@@ -539,7 +442,7 @@ def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
                       interpret: bool = False, skip_attn: bool = False,
                       kv_scales: jnp.ndarray = None,
                       int4_expand: bool = False,
-                      merge_stages: bool = False):
+                      merge_stages: bool | int = False):
     """One full trunk step.  x (1, D) token embedding; kv_cache TIME-MAJOR
     (L, 2, 1, Tmax, D) (see `cache_to_time_major`) with Tmax % BLOCK_T == 0;
     bias (Tmax, 1) f32 additive mask over cache positions; pos scalar — the
@@ -576,7 +479,10 @@ def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
     w_rows = d // 2 if int4 else d
     # weight tiles per grid step (True == 3 for backward compat)
     tpg = (3 if merge_stages is True else int(merge_stages)) or 1
-    assert TILES_PER_LAYER % tpg == 0, f"tiles/step {tpg} must divide 12"
+    if tpg not in (1, 3, 6):
+        raise ValueError(
+            f"merge_stages must be one of 0/False (one tile per step), 3, "
+            f"or 6 (int4 packs only — VMEM), got {merge_stages!r}")
     in_specs = [
         pl.BlockSpec((1, d), lambda i, t, s: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -628,14 +534,10 @@ def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
             pltpu.SemaphoreType.DMA((2,)),            # sem_v
         ],
     )
-    kernel = functools.partial(_kernel, heads=heads, skip_attn=skip_attn,
-                               int4_groups=int4_groups,
-                               int4_expand=int4_expand, int8_kv=int8_kv)
-    if tpg > 1:
-        kernel = functools.partial(
-            _kernel_merged, heads=heads, skip_attn=skip_attn,
-            int4_groups=int4_groups, int4_expand=int4_expand,
-            int8_kv=int8_kv, tpg=tpg)
+    kernel = functools.partial(
+        _kernel_merged, heads=heads, skip_attn=skip_attn,
+        int4_groups=int4_groups, int4_expand=int4_expand,
+        int8_kv=int8_kv, tpg=tpg)
     args = [jnp.asarray([pos], jnp.int32), x.astype(jnp.float32),
             pack.w, pack.consts]
     if int4:
