@@ -623,7 +623,15 @@ class TTSEngine:
             return audio
         key = (src, dst)
         if key not in self._resamplers:
-            self._resamplers[key] = Resampler(src, dst)
+            rs = Resampler(src, dst)
+            if self.device is not None:
+                # keep lazily-built resamplers on this replica's chip too
+                # (see `to_device`)
+                for attr, val in list(vars(rs).items()):
+                    rs.__dict__[attr] = jax.tree.map(
+                        lambda x: jax.device_put(x, self.device)
+                        if isinstance(x, jax.Array) else x, val)
+            self._resamplers[key] = rs
         return np.asarray(self._resamplers[key](audio[None, :]))[0]
 
     @staticmethod
