@@ -7,9 +7,12 @@ cache updates, attention pieces), each a few microseconds of launch/fusion
 overhead.  This kernel replaces all of them with a single `pallas_call`
 whose grid streams uniform (D, D) int8 weight tiles through VMEM:
 
-    grid = (layers, 12)  — 12 tiles/layer: 3 qkv + 1 attn-proj + 4 mlp-fc
+    grid = (layers, 12/tpg) — 12 tiles/layer: 3 qkv + 1 attn-proj + 4 mlp-fc
                            + 4 mlp-fc2 (GPT-2 ratios 3D / D / 4D / 4D are
-                           fixed, so the tiling is universal)
+                           fixed, so the tiling is universal); tpg weight
+                           tiles ride each grid step (1 by default;
+                           `merge_stages` packs 3 or 6 per step to amortize
+                           the ~0.2 us fixed per-step cost)
 
 Per grid step Pallas double-buffers the next 1.6 MB int8 tile while the MXU
 consumes the current one, so decode runs at the weight-DMA floor.  All
@@ -17,9 +20,10 @@ per-layer scalars (12 dequant scales, 12 biases, 4 LN rows) ride in ONE
 (28, D) f32 block fetched once per layer — per-grid-step DMA bookkeeping is
 just the weight tile.  The residual stream lives in VMEM scratch across the
 whole trunk (grid steps on TPU execute sequentially on one core).
-Attention (stage t==3) reads only the live [0, pos) prefix of the KV cache
-via manually double-buffered DMA (same scheme as `ops/decode_attention.py`)
-and handles the current token's k/v in-register.
+Attention (tile 3, right before the attn-proj dot) reads only the live
+[0, pos) prefix of the KV cache via manually double-buffered DMA (same
+scheme as `ops/decode_attention.py`) and handles the current token's k/v
+in-register.
 
 Layout notes (Mosaic constraints): everything stays in flat (.., D) vectors —
 no (H, hd) reshapes, which Mosaic cannot shape-cast.  The fused path uses a
