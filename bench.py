@@ -56,6 +56,10 @@ def build_engine(tiny: bool):
     cfg.engine.merge_decode_stages = 3 if ms == "1" else int(ms)
     # int8 KV cache in the megakernel (per-position scales)
     cfg.engine.use_int8_kv = os.environ.get("INT8_KV", "0") == "1"
+    # batched decode-step megakernel for continuous-batch serving
+    # (bench_serving.py A/B: FUSED_BATCH=1)
+    cfg.engine.use_fused_batch_decode = (
+        os.environ.get("FUSED_BATCH", "0") == "1")
     # bf16 s2mel/DiT compute (f32 softmax/LN stats); measured perf-neutral
     # at bench shapes (DiT is op-overhead-bound, not MXU-bound) — default off
     # to keep the reference's fp32 s2mel numerics

@@ -64,3 +64,9 @@ run serving_base python bench_serving.py
 run serving_kv8 env INT8_KV=1 python bench_serving.py
 
 echo "[queue] all done"; date
+
+# 6. batched decode megakernel A/B (appended while the queue waited out the
+# 2026-08-18 tunnel outage; new Pallas kernel -> first compile can be slow)
+run serving_fb env FUSED_BATCH=1 python bench_serving.py
+run serving_fb_kv8 env FUSED_BATCH=1 INT8_KV=1 python bench_serving.py
+echo "[queue] appended runs done"; date

@@ -387,6 +387,171 @@ def test_int8_kv_full_decode_greedy(setup):
                                   np.asarray(res_f.codes))
 
 
+def _prefill_batch(model, params, b=2, bl=8, max_new=8):
+    """Batched prompt + prefilled cache exactly like decode() builds them."""
+    cfg = CFG
+    p = cfg.condition_num_latent + 2 + bl + 2
+    t_max = p + 1 + max_new
+    t_max += (-t_max) % BLOCK_T
+
+    cond = jax.random.normal(jax.random.PRNGKey(1),
+                             (b, cfg.condition_num_latent, cfg.model_dim),
+                             jnp.bfloat16)
+    emo = jax.random.normal(jax.random.PRNGKey(2), (b, cfg.model_dim),
+                            jnp.bfloat16)
+    text = jnp.asarray([[3, 5, 7, 2, 9, 4, 0, 0],
+                        [8, 1, 6, 0, 0, 0, 0, 0]][:b], dtype=jnp.int32)
+    tlen = jnp.asarray([6, 3][:b])
+
+    prompt, valid_p = model.apply(params, cond, emo, text, tlen,
+                                  method=UnifiedVoice.build_prompt)
+    valid = jnp.concatenate(
+        [valid_p, jnp.ones((b, t_max - p), dtype=bool)], axis=1)
+    hd = cfg.model_dim // cfg.heads
+    cache0 = jnp.zeros((cfg.layers, 2, b, cfg.heads, hd, t_max),
+                       dtype=prompt.dtype)
+    logits0, cache = model.apply(params, prompt, valid_p, cache0,
+                                 method=UnifiedVoice.prefill)
+    return p, t_max, valid, logits0, cache, (cond, emo, text, tlen)
+
+
+def test_fused_batch_step_matches_xla(setup):
+    """3 sequential greedy steps at batch 2 (rows with different prompt
+    padding): the batched megakernel tracks the XLA path per row."""
+    from voice_tts_tpu.ops.fused_decode import (apply_kv_update_batch,
+                                                fused_decode_step_batch)
+
+    model, qparams, pack = setup
+    p, t_max, valid, logits0, cache, _ = _prefill_batch(model, qparams)
+    bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
+
+    tok = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    cache_x = cache
+    cache_f = cache_to_time_major(cache)
+    for step in range(1, 4):
+        step_a = jnp.asarray(step)
+        logits_x, cache_x = model.apply(
+            qparams, tok, step_a - 1, p + step_a, valid, cache_x,
+            method=UnifiedVoice.decode_step)
+
+        emb = model.apply(qparams, tok, step_a - 1,
+                          method=UnifiedVoice.embed_decode_token)
+        hidden, kv_new = fused_decode_step_batch(emb, pack, cache_f, bias,
+                                                 p + step_a, CFG.heads,
+                                                 interpret=True)
+        cache_f = apply_kv_update_batch(cache_f, kv_new, p + step_a)
+        logits_f = model.apply(qparams, hidden, method=UnifiedVoice.readout)
+
+        lx = np.asarray(logits_x, np.float32)
+        lf = np.asarray(logits_f, np.float32)
+        np.testing.assert_allclose(lf, lx, rtol=0, atol=0.05 * np.abs(lx).max())
+        # written kv rows match per batch row (layout transposed)
+        cx = np.asarray(cache_x[:, :, :, :, :, p + step],
+                        np.float32).reshape(CFG.layers, 2, 2, -1)
+        cf = np.asarray(cache_f[:, :, :, p + step, :],
+                        np.float32).reshape(CFG.layers, 2, 2, -1)
+        np.testing.assert_allclose(cf, cx, rtol=0.05, atol=0.05)
+        assert (np.asarray(jnp.argmax(logits_x, -1))
+                == np.asarray(jnp.argmax(logits_f, -1))).all()
+        tok = jnp.argmax(logits_x, axis=-1).astype(jnp.int32)
+
+
+def test_fused_batch_int8_kv_step(setup):
+    """The int8-KV batched step tracks the float-cache batched step."""
+    from voice_tts_tpu.ops.fused_decode import (apply_kv_update_q_batch,
+                                                fused_decode_step_batch,
+                                                quantize_kv_cache_batch)
+
+    model, qparams, pack = setup
+    p, t_max, valid, logits0, cache, _ = _prefill_batch(model, qparams)
+    bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
+    cache_f = cache_to_time_major(cache)
+    qc, scales = quantize_kv_cache_batch(cache_f)
+    assert qc.dtype == jnp.int8 and scales.shape == (CFG.layers, 2, t_max, 2)
+
+    tok = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    step = jnp.asarray(1)
+    emb = model.apply(qparams, tok, step - 1,
+                      method=UnifiedVoice.embed_decode_token)
+    hid_f, kv_f = fused_decode_step_batch(emb, pack, cache_f, bias, p + step,
+                                          CFG.heads, interpret=True)
+    hid_q, kv_q = fused_decode_step_batch(emb, pack, qc, bias, p + step,
+                                          CFG.heads, interpret=True,
+                                          kv_scales=scales)
+    assert kv_q.dtype == jnp.float32
+    hf = np.asarray(hid_f, np.float32)
+    hq = np.asarray(hid_q, np.float32)
+    np.testing.assert_allclose(hq, hf, rtol=0, atol=0.05 * np.abs(hf).max())
+    np.testing.assert_allclose(np.asarray(kv_q), np.asarray(kv_f, np.float32),
+                               rtol=0.05, atol=0.05)
+
+    qc2, sc2 = apply_kv_update_q_batch(qc, scales, kv_q, p + step)
+    row = (np.asarray(qc2[:, :, :, p + 1, :], np.float32)
+           * np.asarray(sc2[:, :, p + 1, :], np.float32)
+           .transpose(0, 2, 1)[:, :, :, None])
+    np.testing.assert_allclose(
+        row, np.asarray(kv_q, np.float32), rtol=0,
+        atol=float(np.asarray(sc2[:, :, p + 1, :]).max()) * 0.51 + 1e-8)
+
+
+def test_fused_batch_full_decode_greedy(setup):
+    """decode(fused_batch=True) at batch 2 reproduces the XLA greedy codes,
+    including per-row early stop bookkeeping."""
+    model, qparams, pack = setup
+    gen = GenerationConfig(do_sample=False, num_beams=1,
+                           repetition_penalty=10.0)
+    b = 2
+    cond = jax.random.normal(jax.random.PRNGKey(1),
+                             (b, CFG.condition_num_latent, CFG.model_dim),
+                             jnp.bfloat16)
+    emo = jax.random.normal(jax.random.PRNGKey(2), (b, CFG.model_dim),
+                            jnp.bfloat16)
+    text = jnp.asarray([[3, 5, 7, 2, 9, 4, 0, 0],
+                        [8, 1, 6, 0, 0, 0, 0, 0]], dtype=jnp.int32)
+    tlen = jnp.asarray([6, 3])
+    rng = jax.random.PRNGKey(3)
+
+    res_x = decode(qparams, model, gen, cond, emo, text, tlen, rng, 12)
+    res_f = decode(qparams, model, gen, cond, emo, text, tlen, rng, 12,
+                   fused_pack=pack, fused_batch=True)
+    np.testing.assert_array_equal(np.asarray(res_f.codes),
+                                  np.asarray(res_x.codes))
+    np.testing.assert_array_equal(np.asarray(res_f.lengths),
+                                  np.asarray(res_x.lengths))
+    res_q = decode(qparams, model, gen, cond, emo, text, tlen, rng, 12,
+                   fused_pack=pack, fused_batch=True, int8_kv=True)
+    np.testing.assert_array_equal(np.asarray(res_q.codes),
+                                  np.asarray(res_x.codes))
+
+
+def test_fused_batch_int4_full_decode(setup):
+    """Batched decode with the int4 pack produces valid codes at batch 2."""
+    from voice_tts_tpu.ops.fused_decode import pack_gpt_int4
+
+    model, qparams, pack = setup
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 6, 1024)),
+                        jnp.zeros((1, 6, 1024)),
+                        jnp.zeros((1, 5), dtype=jnp.int32), jnp.asarray([5]),
+                        jnp.zeros((1, 7), dtype=jnp.int32),
+                        jnp.asarray([7]), method=UnifiedVoice.init_all)
+    p4 = pack_gpt_int4(params, CFG.layers)
+    gen = GenerationConfig(do_sample=False, num_beams=1,
+                           repetition_penalty=10.0)
+    b = 2
+    cond = jax.random.normal(jax.random.PRNGKey(1),
+                             (b, CFG.condition_num_latent, CFG.model_dim),
+                             jnp.bfloat16)
+    emo = jax.random.normal(jax.random.PRNGKey(2), (b, CFG.model_dim),
+                            jnp.bfloat16)
+    text = jnp.asarray([[3, 5, 7, 2, 9, 4, 0, 0],
+                        [8, 1, 6, 0, 0, 0, 0, 0]], dtype=jnp.int32)
+    res4 = decode(qparams, model, gen, cond, emo, text, jnp.asarray([6, 3]),
+                  jax.random.PRNGKey(3), 12, fused_pack=p4, fused_batch=True)
+    codes = np.asarray(res4.codes)
+    assert codes.shape == (b, 12)
+    assert codes.min() >= 0 and codes.max() < CFG.number_mel_codes
+
+
 def test_fused_full_decode_greedy(setup):
     """Full decode() with fused_pack produces the same greedy codes as the
     XLA int8 path (tiny model, short horizon)."""

@@ -317,6 +317,13 @@ class EngineConfig:
     # scores/probs so the dequant convert fuses into the dots; KV-cache
     # DMA is the dominant batch>=8 serving traffic (STATUS.md)
     use_int8_kv: bool = False
+    # batched (2 <= B <= 8) decode-step megakernel for continuous-batch
+    # serving (requires use_fused_decode's pack): one Pallas call per step
+    # over the whole sub-batch, reading only each step's live [0, pos) KV
+    # prefix instead of the full padded cache — the dominant batch >= 8
+    # serving traffic (~1 GB/step at B=8/Tmax=512/bf16).  Composes with
+    # use_int8_kv (int8 cache + per-row/position scales dequantized in VMEM)
+    use_fused_batch_decode: bool = False
     # run teacher-forced latent + s2mel + vocoder as ONE jitted graph with a
     # single host sync (each extra sync costs a round trip on remote-attached
     # chips); per-stage timers require fuse_synthesis=False

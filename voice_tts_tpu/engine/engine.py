@@ -965,7 +965,8 @@ class TTSEngine:
                              fused_pack=self.fused_pack,
                              int8_kv=self.cfg.engine.use_int8_kv,
                              int4_expand=self.cfg.engine.int4_expand,
-                             merge_stages=self.cfg.engine.merge_decode_stages)
+                             merge_stages=self.cfg.engine.merge_decode_stages,
+                             fused_batch=self.cfg.engine.use_fused_batch_decode)
         elif len(jobs) == 1:
             res = beam_decode(self.params_gpt_rt, self.gpt, gen, cond, emo,
                               jnp.asarray(text), jnp.asarray(lens), sub,

@@ -23,10 +23,14 @@ import jax.numpy as jnp
 from voice_tts_tpu.config import GPTConfig, GenerationConfig
 from voice_tts_tpu.models.gpt.unified_voice import UnifiedVoice
 from voice_tts_tpu.ops.fused_decode import (FusedDecodePack, apply_kv_update,
+                                            apply_kv_update_batch,
                                             apply_kv_update_q,
+                                            apply_kv_update_q_batch,
                                             cache_to_time_major,
                                             fused_decode_step,
+                                            fused_decode_step_batch,
                                             quantize_kv_cache,
+                                            quantize_kv_cache_batch,
                                             BLOCK_T as FUSED_BLOCK_T)
 
 
@@ -144,38 +148,46 @@ class _LoopState(NamedTuple):
 
 @functools.partial(jax.jit,
                    static_argnames=("model", "gen", "max_new", "int8_kv",
-                                    "int4_expand", "merge_stages"))
+                                    "int4_expand", "merge_stages",
+                                    "fused_batch"))
 def decode(params, model: UnifiedVoice, gen: GenerationConfig,
            cond_latents: jnp.ndarray, emo_vec: jnp.ndarray,
            text_tokens: jnp.ndarray, text_lengths: jnp.ndarray,
            rng: jax.Array, max_new: int,
            fused_pack: Optional[FusedDecodePack] = None,
            int8_kv: bool = False, int4_expand: bool = False,
-           merge_stages: bool | int = False) -> DecodeResult:
+           merge_stages: bool | int = False,
+           fused_batch: bool = False) -> DecodeResult:
     """Greedy/sampling AR decode (num_beams=1 path).
 
     text_tokens (B, bucket_len) right-padded; returns up to `max_new` codes.
     Compute dtype follows the parameters (pass a bf16-cast tree for bf16
     decode; logits/sampling stay fp32).  When `fused_pack` is given (int8
     tiles from `ops.fused_decode.pack_gpt`) and batch == 1, each step runs
-    the single-Pallas-call trunk megakernel instead of the XLA stack.
-    `int8_kv` (fused path only) stores the KV cache int8 with per-position
-    scales — halves the prefix DMA that dominates late decode steps.
+    the single-Pallas-call trunk megakernel instead of the XLA stack; with
+    `fused_batch=True` batches 2..8 use the batched megakernel
+    (`fused_decode_step_batch` — reads only the live KV prefix instead of
+    the full padded cache, the dominant batch >= 8 serving traffic).
+    `int8_kv` (fused paths, or score-folded on the XLA path) stores the KV
+    cache int8 with per-position scales — halves the prefix DMA that
+    dominates late decode steps.
     """
     cfg: GPTConfig = model.cfg
     b, bl = text_tokens.shape
     use_fused = (fused_pack is not None and b == 1
                  and not cfg.pallas_decode_attention)
+    use_fused_b = (fused_pack is not None and fused_batch and 1 < b <= 8
+                   and not cfg.pallas_decode_attention)
     # int8 KV on the XLA path needs the plain-attention branch (the Pallas
     # decode-attention kernel reads a float cache)
-    int8_kv_xla = (int8_kv and not use_fused
+    int8_kv_xla = (int8_kv and not use_fused and not use_fused_b
                    and not cfg.pallas_decode_attention)
-    int8_kv = int8_kv and use_fused
+    int8_kv = int8_kv and (use_fused or use_fused_b)
     p = cfg.condition_num_latent + 2 + bl + 2  # conds(34) + start/text/stop
     t_max = p + 1 + max_new
     if cfg.pallas_decode_attention:
         t_max += (-t_max) % 512  # kernel block granularity
-    elif use_fused:
+    elif use_fused or use_fused_b:
         t_max += (-t_max) % FUSED_BLOCK_T
     vocab = cfg.number_mel_codes
 
@@ -228,9 +240,30 @@ def decode(params, model: UnifiedVoice, gen: GenerationConfig,
         if int8_kv:
             cache = quantize_kv_cache(cache)  # (int8 cache, scales) pair
         interp = jax.default_backend() != "tpu"
+    elif use_fused_b:
+        # (B, Tmax) per-row additive mask over cache positions
+        attn_bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
+        cache = cache_to_time_major(cache)
+        if int8_kv:
+            cache = quantize_kv_cache_batch(cache)
+        interp = jax.default_backend() != "tpu"
 
     def body_fn(s: _LoopState):
-        if use_fused:
+        if use_fused_b:
+            emb = model.apply(params, s.token, s.step - 1,
+                              method=UnifiedVoice.embed_decode_token)
+            kv_c, kv_s = s.cache if int8_kv else (s.cache, None)
+            hidden, kv_new = fused_decode_step_batch(
+                emb, fused_pack, kv_c, attn_bias, p + s.step, cfg.heads,
+                interpret=interp, kv_scales=kv_s, int4_expand=int4_expand,
+                merge_stages=merge_stages)
+            if int8_kv:
+                cache = apply_kv_update_q_batch(kv_c, kv_s, kv_new,
+                                                p + s.step)
+            else:
+                cache = apply_kv_update_batch(s.cache, kv_new, p + s.step)
+            logits = model.apply(params, hidden, method=UnifiedVoice.readout)
+        elif use_fused:
             emb = model.apply(params, s.token, s.step - 1,
                               method=UnifiedVoice.embed_decode_token)
             kv_c, kv_s = s.cache if int8_kv else (s.cache, None)

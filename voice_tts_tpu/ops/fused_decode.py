@@ -260,7 +260,7 @@ def _dot_one_tile(src, w_tile, scale_row, bias_row, gs_rows,
         return y + bias_row
     lo = (((wb & 15) ^ 8) - 8).astype(jnp.bfloat16)
     hi = jax.lax.shift_right_arithmetic(wb, 4).astype(jnp.bfloat16)
-    y = jnp.zeros((1, d), jnp.float32)
+    y = jnp.zeros((src.shape[0], d), jnp.float32)
     for g in range(per_half):
         sl = slice(g * gsize, (g + 1) * gsize)
         y += (jnp.dot(xb[:, g * gsize:(g + 1) * gsize], lo[sl],
@@ -560,6 +560,328 @@ def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
         interpret=interpret,
     )(*args)
     return y, kv_new
+
+
+def batch_block_t(b: int) -> int:
+    """KV-read block length for the batched kernel: keep the double-buffered
+    K+V slabs at ~<=512 total (batch x time) rows (~5 MB bf16 at D=1280),
+    within [64, BLOCK_T].  Every value divides BLOCK_T, so the caller's
+    Tmax % BLOCK_T == 0 rounding keeps working."""
+    bt = 64
+    while bt * 2 * b <= 512 and bt * 2 <= BLOCK_T:
+        bt *= 2
+    return bt
+
+
+def _attend_batch(layer, pos, heads, d, bt, q_in, k_cur, v_cur, bias_ref,
+                  hmask_ref, hmask_t_ref, cache_ref, kscale_ref, kbuf, vbuf,
+                  sem_k, sem_v, int8_kv):
+    """Batched online-softmax attention over the shared [0, pos) cache prefix
+    plus each row's current-token k/v (in VMEM).  One strided DMA per block
+    moves the (B, BT, D) slab for all rows at once (B contiguous BT*D
+    chunks); per-row prompt padding rides in `bias_ref` (B, Tmax).  Returns
+    the (B, D) context."""
+    b = q_in.shape[0]
+    hd = d // heads
+    hmask = hmask_ref[...]        # (D, H) 0/1: lane -> head grouping
+    hmask_t = hmask_t_ref[...]    # (H, D)
+    q = q_in * (hd ** -0.5)       # (B, D) f32
+    n_blocks = pl.cdiv(pos, bt)
+
+    def dma_k(j, slot):
+        return pltpu.make_async_copy(
+            cache_ref.at[layer, 0, :, pl.ds(j * bt, bt), :],
+            kbuf.at[slot], sem_k.at[slot])
+
+    def dma_v(j, slot):
+        return pltpu.make_async_copy(
+            cache_ref.at[layer, 1, :, pl.ds(j * bt, bt), :],
+            vbuf.at[slot], sem_v.at[slot])
+
+    def head_sum(x):    # (N, D) -> (N, H): reduce lanes within each head
+        return jnp.dot(x, hmask, preferred_element_type=jnp.float32)
+
+    def head_bcast(x):  # (N, H) -> (N, D): repeat per-head scalars
+        return jnp.dot(x, hmask_t, preferred_element_type=jnp.float32)
+
+    def step(j, carry):
+        m, l, acc = carry         # (B, H), (B, H), (B, D)
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_blocks)
+        def _():
+            nxt = jax.lax.rem(j + 1, 2)
+            dma_k(j + 1, nxt).start()
+            dma_v(j + 1, nxt).start()
+
+        dma_k(j, slot).wait()
+        t0 = j * bt
+        k = kbuf[slot].astype(jnp.float32)            # (B, BT, D)
+        if int8_kv:
+            k = k * kscale_ref[0, :, pl.ds(t0, bt), 0:1]
+        scores = head_sum((q[:, None, :] * k).reshape(b * bt, d))
+        scores = scores.reshape(b, bt, heads)
+        scores = scores + bias_ref[:, pl.ds(t0, bt)][..., None]
+        row = jax.lax.broadcasted_iota(jnp.int32, (b, bt, heads), 1) + t0
+        scores = jnp.where(row < pos, scores, -jnp.inf)
+
+        m_new = jnp.maximum(m, jnp.max(scores, axis=1))
+        alpha = jnp.exp(m - m_new)                    # (B, H)
+        p = jnp.exp(scores - m_new[:, None, :])       # (B, BT, H)
+        l_new = l * alpha + jnp.sum(p, axis=1)
+
+        dma_v(j, slot).wait()
+        v = vbuf[slot].astype(jnp.float32)            # (B, BT, D)
+        if int8_kv:
+            v = v * kscale_ref[0, :, pl.ds(t0, bt), 1:2]
+        pb = head_bcast(p.reshape(b * bt, heads)).reshape(b, bt, d)
+        pv = jnp.sum(pb * v, axis=1)                  # (B, D)
+        acc_new = acc * head_bcast(alpha) + pv
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((b, heads), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((b, heads), jnp.float32)
+    a0 = jnp.zeros((b, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_blocks, step, (m0, l0, a0))
+
+    # current token (always attendable; its k/v live in VMEM)
+    s_cur = head_sum(q * k_cur)                       # (B, H)
+    m_f = jnp.maximum(m, s_cur)
+    alpha = jnp.exp(m - m_f)
+    p_cur = jnp.exp(s_cur - m_f)
+    l_f = l * alpha + p_cur
+    ctx = (acc * head_bcast(alpha) + head_bcast(p_cur) * v_cur)
+    return ctx / head_bcast(l_f)                      # (B, D)
+
+
+def _kernel_batch(pos_ref, x_ref, w_ref, c_ref, *rest, heads, int4_groups,
+                  int4_expand, int8_kv, tpg, block_t):
+    """Batched variant of `_kernel_merged`: (B, D) activations, grid
+    (L, 12/tpg).  Weight tiles stream exactly as in the batch-1 kernel (the
+    DMA amortizes over the batch); the residual/ln/qkv/mlp scratch carries a
+    B-row block; attention is `_attend_batch`."""
+    rest = list(rest)
+    gs_ref = rest.pop(0) if int4_groups else None
+    bias_ref, hmask_ref, hmask_t_ref, cache_ref = rest[:4]
+    rest = rest[4:]
+    kscale_ref = rest.pop(0) if int8_kv else None
+    (y_ref, kv_ref, x_s, ln_s, q_s, k_s, v_s, h_s, acc_s, kbuf, vbuf,
+     sem_k, sem_v) = rest
+    layer = pl.program_id(0)
+    g = pl.program_id(1)
+    n_layers = pl.num_programs(0)
+    d = x_ref.shape[1]
+    pos = pos_ref[0]
+
+    def dot(src, t_global):
+        j = t_global % tpg
+        return _dot_one_tile(
+            src, w_ref[0, j], c_ref[0, pl.ds(t_global, 1)],
+            c_ref[0, pl.ds(t_global + 12, 1)],
+            gs_ref[0, j] if int4_groups else None,
+            int4_groups, int4_expand)
+
+    def action(t):
+        if t == 0:
+            @pl.when(layer == 0)
+            def _():
+                x_s[...] = x_ref[...].astype(jnp.float32)
+            ln_s[...] = _ln(x_s[...], c_ref[0, 24:25], c_ref[0, 25:26])
+            pltpu.make_async_copy(
+                cache_ref.at[layer, 0, :, pl.ds(0, block_t), :],
+                kbuf.at[0], sem_k.at[0]).start()
+            pltpu.make_async_copy(
+                cache_ref.at[layer, 1, :, pl.ds(0, block_t), :],
+                vbuf.at[0], sem_v.at[0]).start()
+            q_s[...] = dot(ln_s[...], 0)
+        elif t == 1:
+            k = dot(ln_s[...], 1)
+            k_s[...] = k
+            kv_ref[0, 0] = k.astype(kv_ref.dtype)
+        elif t == 2:
+            v = dot(ln_s[...], 2)
+            v_s[...] = v
+            kv_ref[0, 1] = v.astype(kv_ref.dtype)
+        elif t == 3:
+            ctx = _attend_batch(layer, pos, heads, d, block_t, q_s[...],
+                                k_s[...], v_s[...], bias_ref, hmask_ref,
+                                hmask_t_ref, cache_ref, kscale_ref, kbuf,
+                                vbuf, sem_k, sem_v, int8_kv)
+            x_s[...] = x_s[...] + dot(ctx, 3)
+            ln_s[...] = _ln(x_s[...], c_ref[0, 26:27], c_ref[0, 27:28])
+        elif t in (4, 5, 6, 7):
+            h_s[t - 4] = jax.nn.gelu(dot(ln_s[...], t), approximate=True)
+        else:  # 8..11: down-projection partials over the h_s row tiles
+            part = dot(h_s[t - 8], t)
+            if t == 8:
+                acc_s[...] = part
+            else:
+                acc_s[...] = acc_s[...] + part
+            if t == 11:
+                x_s[...] = x_s[...] + acc_s[...]
+
+                @pl.when(layer == n_layers - 1)
+                def _():
+                    y_ref[...] = x_s[...]
+
+    for grp in range(TILES_PER_LAYER // tpg):
+        @pl.when(g == grp)
+        def _(grp=grp):
+            for j in range(tpg):
+                action(grp * tpg + j)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "interpret", "int4_expand",
+                                    "merge_stages"))
+def fused_decode_step_batch(x: jnp.ndarray, pack: FusedDecodePack,
+                            kv_cache: jnp.ndarray, bias: jnp.ndarray,
+                            pos: jnp.ndarray, heads: int,
+                            interpret: bool = False,
+                            kv_scales: jnp.ndarray = None,
+                            int4_expand: bool = False,
+                            merge_stages: bool | int = False):
+    """Batched (2 <= B <= 8) trunk megakernel step for continuous-batch
+    serving.  x (B, D) token embeddings; kv_cache TIME-MAJOR
+    (L, 2, B, Tmax, D); bias (B, Tmax) f32 additive mask (per-row prompt
+    padding); pos scalar — the engine buckets text lengths, so every batch
+    row decodes at the same position (`models/gpt/decode.py`).
+
+    Returns (hidden (B, D) f32 pre-ln_f, kv_new (L, 2, B, D)); write with
+    `apply_kv_update_batch` (or `apply_kv_update_q_batch` for int8 KV,
+    scales (L, B, Tmax, 2) from `quantize_kv_cache_batch`).
+
+    Rationale (STATUS.md round-2 item): the batched XLA step reads the FULL
+    padded KV cache every step (~1 GB at B=8/Tmax=512/bf16 — the dominant
+    serving traffic) plus ~200 small kernels of launch overhead; this kernel
+    reads only the live [0, pos) prefix and fuses the step like the batch-1
+    megakernel, with the weight-tile DMA amortized across the batch.
+    """
+    l, _, b, t_max, d = kv_cache.shape
+    int8_kv = kv_scales is not None
+    assert 1 <= b <= 8, "batched megakernel sized for B <= 8 (VMEM slabs)"
+    assert d % heads == 0 and x.shape == (b, d)
+    bt = batch_block_t(b)
+    assert t_max % bt == 0, "cache length must be a multiple of BLOCK_T"
+    assert bias.shape == (b, t_max)
+    assert not int8_kv or (kv_cache.dtype == jnp.int8
+                           and kv_scales.shape == (l, b, t_max, 2))
+
+    hmask = (jnp.arange(d)[:, None] // (d // heads)
+             == jnp.arange(heads)[None, :]).astype(jnp.float32)
+
+    int4 = isinstance(pack, FusedDecodePackInt4)
+    int4_groups = d // group_size(d) if int4 else 0
+    w_rows = d // 2 if int4 else d
+    tpg = (3 if merge_stages is True else int(merge_stages)) or 1
+    if tpg not in (1, 3, 6):
+        raise ValueError(
+            f"merge_stages must be one of 0/False, 3, or 6, got "
+            f"{merge_stages!r}")
+    in_specs = [
+        pl.BlockSpec((b, d), lambda i, t, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tpg, w_rows, d), lambda i, t, s: (i, t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 28, d), lambda i, t, s: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if int4:
+        in_specs.append(
+            pl.BlockSpec((1, tpg, int4_groups, d),
+                         lambda i, t, s: (i, t, 0, 0),
+                         memory_space=pltpu.VMEM))
+    in_specs += [
+        pl.BlockSpec((b, t_max), lambda i, t, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, heads), lambda i, t, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, d), lambda i, t, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),            # kv cache (HBM)
+    ]
+    if int8_kv:
+        in_specs.append(
+            pl.BlockSpec((1, b, t_max, 2), lambda i, t, s: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM))    # per-layer kv scales
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(l, TILES_PER_LAYER // tpg),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((b, d), lambda i, t, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, b, d), lambda i, t, s: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),    # per-layer new k/v
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, d), jnp.float32),          # x_s residual
+            pltpu.VMEM((b, d), jnp.float32),          # ln_s
+            pltpu.VMEM((b, d), jnp.float32),          # q_s
+            pltpu.VMEM((b, d), jnp.float32),          # k_s
+            pltpu.VMEM((b, d), jnp.float32),          # v_s
+            pltpu.VMEM((4, b, d), jnp.float32),       # h_s mlp activations
+            pltpu.VMEM((b, d), jnp.float32),          # acc_s
+            pltpu.VMEM((2, b, bt, d), kv_cache.dtype),  # kbuf
+            pltpu.VMEM((2, b, bt, d), kv_cache.dtype),  # vbuf
+            pltpu.SemaphoreType.DMA((2,)),            # sem_k
+            pltpu.SemaphoreType.DMA((2,)),            # sem_v
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_batch, heads=heads, int4_groups=int4_groups,
+        int4_expand=int4_expand, int8_kv=int8_kv, tpg=tpg, block_t=bt)
+    args = [jnp.asarray([pos], jnp.int32), x.astype(jnp.float32),
+            pack.w, pack.consts]
+    if int4:
+        args.append(pack.gscales)
+    args += [bias, hmask, jnp.transpose(hmask), kv_cache]
+    if int8_kv:
+        args.append(kv_scales)
+    kv_new_dtype = jnp.float32 if int8_kv else kv_cache.dtype
+    y, kv_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+            jax.ShapeDtypeStruct((l, 2, b, d), kv_new_dtype),
+        ],
+        interpret=interpret,
+    )(*args)
+    return y, kv_new
+
+
+def quantize_kv_cache_batch(tm_cache: jnp.ndarray):
+    """Per-(row, position) int8 quantization of a batched time-major cache:
+    (L, 2, B, T, D) float -> (int8 cache, scales (L, B, T, 2) f32)."""
+    s = jnp.max(jnp.abs(tm_cache.astype(jnp.float32)), axis=-1) / 127.0
+    s = jnp.maximum(s, 1e-12)                     # (L, 2, B, T)
+    q = jnp.round(tm_cache.astype(jnp.float32) / s[..., None])
+    q = jnp.clip(q, -127, 127).astype(jnp.int8)
+    return q, jnp.transpose(s, (0, 2, 3, 1))
+
+
+def apply_kv_update_batch(kv_cache: jnp.ndarray, kv_new: jnp.ndarray,
+                          pos: jnp.ndarray) -> jnp.ndarray:
+    """Write kv_new (L, 2, B, D) into the batched time-major cache at the
+    shared position pos."""
+    return jax.lax.dynamic_update_slice(
+        kv_cache, kv_new[:, :, :, None, :].astype(kv_cache.dtype),
+        (0, 0, 0, pos, 0))
+
+
+def apply_kv_update_q_batch(kv_cache: jnp.ndarray, kv_scales: jnp.ndarray,
+                            kv_new: jnp.ndarray, pos: jnp.ndarray):
+    """Quantize kv_new (L, 2, B, D) f32 and write rows + scales at the shared
+    position into the int8 cache / (L, B, Tmax, 2) scale table."""
+    s = jnp.maximum(jnp.max(jnp.abs(kv_new), axis=-1) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(kv_new / s[..., None]), -127, 127).astype(jnp.int8)
+    cache = jax.lax.dynamic_update_slice(
+        kv_cache, q[:, :, :, None, :], (0, 0, 0, pos, 0))
+    scales = jax.lax.dynamic_update_slice(
+        kv_scales, jnp.transpose(s, (0, 2, 1))[:, :, None, :], (0, 0, pos, 0))
+    return cache, scales
 
 
 def apply_kv_update(kv_cache: jnp.ndarray, kv_new: jnp.ndarray,
