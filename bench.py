@@ -28,6 +28,15 @@ def build_engine(tiny: bool):
     from voice_tts_tpu.engine import TTSEngine
 
     if tiny:
+        if os.environ.get("CONT_BATCH") == "1":
+            # continuous batching needs the megakernel pack even on the
+            # CPU smoke path (interpret-mode Pallas)
+            cfg = TTSConfig.tiny()
+            cfg.engine.use_int8_decode = True
+            cfg.engine.use_fused_decode = True
+            cfg.generation.num_beams = 1
+            cfg.generation.max_mel_tokens = 24
+            return TTSEngine.random(cfg, seed=0)
         return TTSEngine.tiny()
 
     cfg = TTSConfig()

@@ -9,6 +9,7 @@ driver's primary bench (that's bench.py); run manually:
 
 import argparse
 import json
+import os
 import sys
 import threading
 import time
@@ -60,7 +61,25 @@ def main():
     pending = []
     audio_total = [0.0]
 
-    # run through infer_batch with a software batcher mimicking the server
+    # CONT_BATCH=1: slot-based continuous batching (requests join a running
+    # decode batch mid-flight); default: grouped infer_batch through a
+    # software batcher mimicking the server
+    continuous = os.environ.get("CONT_BATCH", "0") == "1"
+    cont_batcher = None
+    if continuous:
+        from voice_tts_tpu.engine.continuous import ContinuousBatcher
+
+        cont_batcher = ContinuousBatcher(
+            engine, chunk_steps=int(os.environ.get("CHUNK_STEPS", "16")))
+        # warm-up: compile admit buckets + the chunk graph
+        h, ev = cont_batcher.submit(
+            {"spk_audio_prompt": prompts[0], "text": texts[0]})
+        h2, ev2 = cont_batcher.submit(
+            {"spk_audio_prompt": prompts[1], "text": texts[2]})
+        cont_batcher.run()
+        assert ev.is_set() and ev2.is_set()
+        cont_batcher.start()
+
     batch_lock = threading.Lock()
     queue = []
     done = threading.Event()
@@ -79,17 +98,23 @@ def main():
                 holder.append(res)
                 ev.set()
 
-    worker = threading.Thread(target=batcher, daemon=True)
-    worker.start()
+    if not continuous:
+        worker = threading.Thread(target=batcher, daemon=True)
+        worker.start()
 
     def one_request(i):
         req = {"spk_audio_prompt": prompts[i % 3], "text": texts[i % 3]}
-        holder = []
-        ev = threading.Event()
         t0 = time.perf_counter()
-        with batch_lock:
-            queue.append((ev, req, holder))
+        if continuous:
+            holder, ev = cont_batcher.submit(req)
+        else:
+            holder = []
+            ev = threading.Event()
+            with batch_lock:
+                queue.append((ev, req, holder))
         ev.wait()
+        if isinstance(holder[0], Exception):
+            raise holder[0]
         dt = time.perf_counter() - t0
         with lock:
             latencies.append(dt)
@@ -106,6 +131,8 @@ def main():
     for th in threads:
         th.join()
     done.set()
+    if cont_batcher is not None:
+        cont_batcher.stop()
     wall = time.perf_counter() - t_start
 
     lat = np.asarray(sorted(latencies))

@@ -70,3 +70,8 @@ echo "[queue] all done"; date
 run serving_fb env FUSED_BATCH=1 python bench_serving.py
 run serving_fb_kv8 env FUSED_BATCH=1 INT8_KV=1 python bench_serving.py
 echo "[queue] appended runs done"; date
+
+# 7. slot-based continuous batching A/B (vs grouped infer_batch)
+run serving_cont env CONT_BATCH=1 python bench_serving.py
+run serving_cont_kv8 env CONT_BATCH=1 INT8_KV=1 python bench_serving.py
+echo "[queue] continuous-batching runs done"; date

@@ -456,6 +456,95 @@ def test_fused_batch_step_matches_xla(setup):
         tok = jnp.argmax(logits_x, axis=-1).astype(jnp.int32)
 
 
+def test_fused_batch_per_row_pos(setup):
+    """Rows decoding at DIFFERENT positions (continuous batching): each row
+    of the batched kernel matches an independent batch-1 megakernel step on
+    that row's cache slice, and per-row cache writes land at each row's own
+    position."""
+    from voice_tts_tpu.ops.fused_decode import (apply_kv_update_rows,
+                                                fused_decode_step_batch)
+
+    model, qparams, pack = setup
+    p, t_max, valid, logits0, cache, _ = _prefill_batch(model, qparams)
+    bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
+    cache_f = cache_to_time_major(cache)
+
+    # advance row 0 by one extra step so the rows sit at different positions
+    tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    emb0 = model.apply(qparams, tok0[:1], jnp.asarray(0),
+                       method=UnifiedVoice.embed_decode_token)
+    cache_r0 = cache_f[:, :, :1]
+    hid0, kv0 = fused_decode_step(emb0, pack, cache_r0, bias[0][:, None],
+                                  p + 1, CFG.heads, interpret=True)
+    cache_r0 = apply_kv_update(cache_r0, kv0, p + 1)
+    tok0_next = jnp.argmax(model.apply(qparams, hid0,
+                                       method=UnifiedVoice.readout),
+                           axis=-1).astype(jnp.int32)
+
+    # batched state: row 0 at pos p+2 (about to emit its 2nd code), row 1 at
+    # pos p+1 (its 1st)
+    cache_b = jnp.concatenate([cache_r0, cache_f[:, :, 1:]], axis=2)
+    pos = jnp.asarray([p + 2, p + 1], jnp.int32)
+    emb_r0 = model.apply(qparams, tok0_next, jnp.asarray(1),
+                         method=UnifiedVoice.embed_decode_token)
+    emb_r1 = model.apply(qparams, tok0[1:], jnp.asarray(0),
+                         method=UnifiedVoice.embed_decode_token)
+    emb = jnp.concatenate([emb_r0, emb_r1], axis=0)
+    hid_b, kv_b = fused_decode_step_batch(emb, pack, cache_b, bias, pos,
+                                          CFG.heads, interpret=True)
+
+    # references: independent batch-1 steps per row
+    hid_ref0, kv_ref0 = fused_decode_step(emb_r0, pack, cache_r0,
+                                          bias[0][:, None], p + 2, CFG.heads,
+                                          interpret=True)
+    hid_ref1, kv_ref1 = fused_decode_step(emb_r1, pack, cache_f[:, :, 1:],
+                                          bias[1][:, None], p + 1, CFG.heads,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(hid_b[0]), np.asarray(hid_ref0[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hid_b[1]), np.asarray(hid_ref1[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(kv_b[:, :, 0], np.float32),
+                               np.asarray(kv_ref0, np.float32),
+                               rtol=1e-4, atol=1e-4)
+
+    cache_up = apply_kv_update_rows(cache_b, kv_b, pos)
+    np.testing.assert_allclose(
+        np.asarray(cache_up[:, :, 0, p + 2, :], np.float32),
+        np.asarray(kv_b[:, :, 0], np.float32), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(cache_up[:, :, 1, p + 1, :], np.float32),
+        np.asarray(kv_b[:, :, 1], np.float32), rtol=1e-3, atol=1e-3)
+    # row 0's p+1 entry (written before the batched step) is untouched
+    np.testing.assert_array_equal(np.asarray(cache_up[:, :, 0, p + 1, :]),
+                                  np.asarray(cache_b[:, :, 0, p + 1, :]))
+
+
+def test_fused_batch_idle_slot_nan_free(setup):
+    """pos = 0 idle slots produce finite garbage, and occupied rows are
+    unaffected — the continuous batcher relies on this."""
+    from voice_tts_tpu.ops.fused_decode import fused_decode_step_batch
+
+    model, qparams, pack = setup
+    p, t_max, valid, logits0, cache, _ = _prefill_batch(model, qparams)
+    bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
+    cache_f = cache_to_time_major(cache)
+    tok = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    emb = model.apply(qparams, tok, jnp.asarray(0),
+                      method=UnifiedVoice.embed_decode_token)
+
+    pos = jnp.asarray([p + 1, 0], jnp.int32)   # row 1 idle
+    hid_b, kv_b = fused_decode_step_batch(emb, pack, cache_f, bias, pos,
+                                          CFG.heads, interpret=True)
+    assert np.isfinite(np.asarray(hid_b)).all()
+    assert np.isfinite(np.asarray(kv_b, np.float32)).all()
+    hid_ref, _ = fused_decode_step(emb[:1], pack, cache_f[:, :, :1],
+                                   bias[0][:, None], p + 1, CFG.heads,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(hid_b[0]), np.asarray(hid_ref[0]),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_fused_batch_int8_kv_step(setup):
     """The int8-KV batched step tracks the float-cache batched step."""
     from voice_tts_tpu.ops.fused_decode import (apply_kv_update_q_batch,

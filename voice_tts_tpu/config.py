@@ -389,7 +389,16 @@ class ServerConfig:
     log_level: str = "info"
     request_timeout_s: float = 300.0
     download_timeout_s: float = 30.0
-    max_batch_size: int = 8  # continuous batching cap per decode step
+    max_batch_size: int = 8  # batching cap per decode step / slot count
+    # slot-based continuous batching (engine/continuous.py): requests join a
+    # RUNNING decode batch mid-flight instead of waiting for the current
+    # group to finish.  Requires engine.use_fused_decode (the batched
+    # megakernel) and num_beams == 1; the server falls back to grouped
+    # infer_batch otherwise
+    continuous_batching: bool = False
+    # decode steps per continuous-batching dispatch: the host syncs once per
+    # chunk (admission latency granularity ~= chunk * ms/step)
+    chunk_steps: int = 16
 
 
 @dataclass(eq=False)

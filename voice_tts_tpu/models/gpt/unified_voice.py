@@ -218,6 +218,15 @@ class UnifiedVoice(nn.Module):
                + self.mel_pos_embedding(step[None, None] + 1))
         return emb[:, 0]
 
+    def embed_decode_token_rows(self, token: jnp.ndarray,
+                                steps: jnp.ndarray) -> jnp.ndarray:
+        """Per-row AR-step embedding for continuous batching: token (B,),
+        steps (B,) last emitted code index per row -> (B, D) with each row's
+        own mel position steps+1 (rows decode at different depths)."""
+        emb = (self.mel_embedding(token[:, None])
+               + self.mel_pos_embedding(steps[:, None] + 1))
+        return emb[:, 0]
+
     def readout(self, hidden: jnp.ndarray) -> jnp.ndarray:
         """final_norm + mel_head on a (B, D) hidden state -> (B, vocab)."""
         return self.mel_head(self.final_norm(hidden).astype(jnp.float32))

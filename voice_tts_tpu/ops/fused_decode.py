@@ -573,20 +573,27 @@ def batch_block_t(b: int) -> int:
     return bt
 
 
-def _attend_batch(layer, pos, heads, d, bt, q_in, k_cur, v_cur, bias_ref,
+def _attend_batch(layer, pos_ref, heads, d, bt, q_in, k_cur, v_cur, bias_ref,
                   hmask_ref, hmask_t_ref, cache_ref, kscale_ref, kbuf, vbuf,
                   sem_k, sem_v, int8_kv):
-    """Batched online-softmax attention over the shared [0, pos) cache prefix
-    plus each row's current-token k/v (in VMEM).  One strided DMA per block
+    """Batched online-softmax attention over each row's [0, pos_b) cache
+    prefix plus its current-token k/v (in VMEM).  One strided DMA per block
     moves the (B, BT, D) slab for all rows at once (B contiguous BT*D
-    chunks); per-row prompt padding rides in `bias_ref` (B, Tmax).  Returns
-    the (B, D) context."""
+    chunks), covering ceil(max_b pos_b / BT) blocks; rows past their own
+    pos_b are masked, and per-row prompt padding rides in `bias_ref`
+    (B, Tmax).  pos_ref is the (B,) scalar-prefetch of live prefix lengths
+    (continuous batching steps rows at different positions).  Returns the
+    (B, D) context."""
     b = q_in.shape[0]
     hd = d // heads
     hmask = hmask_ref[...]        # (D, H) 0/1: lane -> head grouping
     hmask_t = hmask_t_ref[...]    # (H, D)
     q = q_in * (hd ** -0.5)       # (B, D) f32
-    n_blocks = pl.cdiv(pos, bt)
+    max_pos = pos_ref[0]
+    for i in range(1, b):
+        max_pos = jnp.maximum(max_pos, pos_ref[i])
+    pos_col = jnp.stack([pos_ref[i] for i in range(b)])[:, None, None]
+    n_blocks = pl.cdiv(max_pos, bt)
 
     def dma_k(j, slot):
         return pltpu.make_async_copy(
@@ -623,11 +630,15 @@ def _attend_batch(layer, pos, heads, d, bt, q_in, k_cur, v_cur, bias_ref,
         scores = scores.reshape(b, bt, heads)
         scores = scores + bias_ref[:, pl.ds(t0, bt)][..., None]
         row = jax.lax.broadcasted_iota(jnp.int32, (b, bt, heads), 1) + t0
-        scores = jnp.where(row < pos, scores, -jnp.inf)
+        scores = jnp.where(row < pos_col, scores, -jnp.inf)
 
         m_new = jnp.maximum(m, jnp.max(scores, axis=1))
-        alpha = jnp.exp(m - m_new)                    # (B, H)
-        p = jnp.exp(scores - m_new[:, None, :])       # (B, BT, H)
+        # safe max: a row whose whole prefix precedes this block span keeps
+        # m_new = -inf (every score masked); subtract 0 there so exp gives
+        # exact zeros instead of inf-inf NaNs (pos_b = 0 idle slots included)
+        m_safe = jnp.where(m_new == -jnp.inf, 0.0, m_new)
+        alpha = jnp.exp(m - m_safe)                   # (B, H)
+        p = jnp.exp(scores - m_safe[:, None, :])      # (B, BT, H)
         l_new = l * alpha + jnp.sum(p, axis=1)
 
         dma_v(j, slot).wait()
@@ -671,7 +682,6 @@ def _kernel_batch(pos_ref, x_ref, w_ref, c_ref, *rest, heads, int4_groups,
     g = pl.program_id(1)
     n_layers = pl.num_programs(0)
     d = x_ref.shape[1]
-    pos = pos_ref[0]
 
     def dot(src, t_global):
         j = t_global % tpg
@@ -703,7 +713,7 @@ def _kernel_batch(pos_ref, x_ref, w_ref, c_ref, *rest, heads, int4_groups,
             v_s[...] = v
             kv_ref[0, 1] = v.astype(kv_ref.dtype)
         elif t == 3:
-            ctx = _attend_batch(layer, pos, heads, d, block_t, q_s[...],
+            ctx = _attend_batch(layer, pos_ref, heads, d, block_t, q_s[...],
                                 k_s[...], v_s[...], bias_ref, hmask_ref,
                                 hmask_t_ref, cache_ref, kscale_ref, kbuf,
                                 vbuf, sem_k, sem_v, int8_kv)
@@ -744,12 +754,17 @@ def fused_decode_step_batch(x: jnp.ndarray, pack: FusedDecodePack,
     """Batched (2 <= B <= 8) trunk megakernel step for continuous-batch
     serving.  x (B, D) token embeddings; kv_cache TIME-MAJOR
     (L, 2, B, Tmax, D); bias (B, Tmax) f32 additive mask (per-row prompt
-    padding); pos scalar — the engine buckets text lengths, so every batch
-    row decodes at the same position (`models/gpt/decode.py`).
+    padding); pos scalar (whole-batch decode: the engine buckets text
+    lengths so rows share the position, `models/gpt/decode.py`) or (B,)
+    per-row live prefix lengths (continuous batching: slots admitted at
+    different times decode at their own positions; a pos of 0 marks an idle
+    slot, which computes garbage but stays NaN-free and masked by the
+    caller).
 
     Returns (hidden (B, D) f32 pre-ln_f, kv_new (L, 2, B, D)); write with
-    `apply_kv_update_batch` (or `apply_kv_update_q_batch` for int8 KV,
-    scales (L, B, Tmax, 2) from `quantize_kv_cache_batch`).
+    `apply_kv_update_batch` (shared pos) / `apply_kv_update_rows` (per-row),
+    or the `_q` variants for int8 KV (scales (L, B, Tmax, 2) from
+    `quantize_kv_cache_batch`).
 
     Rationale (STATUS.md round-2 item): the batched XLA step reads the FULL
     padded KV cache every step (~1 GB at B=8/Tmax=512/bf16 — the dominant
@@ -832,7 +847,8 @@ def fused_decode_step_batch(x: jnp.ndarray, pack: FusedDecodePack,
     kernel = functools.partial(
         _kernel_batch, heads=heads, int4_groups=int4_groups,
         int4_expand=int4_expand, int8_kv=int8_kv, tpg=tpg, block_t=bt)
-    args = [jnp.asarray([pos], jnp.int32), x.astype(jnp.float32),
+    pos_vec = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (b,))
+    args = [pos_vec, x.astype(jnp.float32),
             pack.w, pack.consts]
     if int4:
         args.append(pack.gscales)
@@ -882,6 +898,35 @@ def apply_kv_update_q_batch(kv_cache: jnp.ndarray, kv_scales: jnp.ndarray,
     scales = jax.lax.dynamic_update_slice(
         kv_scales, jnp.transpose(s, (0, 2, 1))[:, :, None, :], (0, 0, pos, 0))
     return cache, scales
+
+
+def apply_kv_update_rows(kv_cache: jnp.ndarray, kv_new: jnp.ndarray,
+                         pos: jnp.ndarray) -> jnp.ndarray:
+    """Per-row write: kv_new (L, 2, B, D) lands at each row's own position
+    pos (B,) in the batched time-major cache (continuous batching)."""
+    def one(cache_b, new_b, p):  # (L, 2, T, D), (L, 2, D), scalar
+        return jax.lax.dynamic_update_slice(
+            cache_b, new_b[:, :, None, :].astype(cache_b.dtype), (0, 0, p, 0))
+    return jax.vmap(one, in_axes=(2, 2, 0), out_axes=2)(kv_cache, kv_new, pos)
+
+
+def apply_kv_update_q_rows(kv_cache: jnp.ndarray, kv_scales: jnp.ndarray,
+                           kv_new: jnp.ndarray, pos: jnp.ndarray):
+    """Per-row int8 write: quantize kv_new (L, 2, B, D) f32 and place each
+    row + scale at its own position pos (B,) (cache int8 (L, 2, B, T, D),
+    scales (L, B, T, 2))."""
+    s = jnp.maximum(jnp.max(jnp.abs(kv_new), axis=-1) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(kv_new / s[..., None]), -127, 127).astype(jnp.int8)
+
+    def one(cache_b, scale_b, q_b, s_b, p):
+        # (L, 2, T, D), (L, T, 2), (L, 2, D), (L, 2), scalar
+        cache_b = jax.lax.dynamic_update_slice(
+            cache_b, q_b[:, :, None, :], (0, 0, p, 0))
+        scale_b = jax.lax.dynamic_update_slice(
+            scale_b, s_b[:, None, :], (0, p, 0))
+        return cache_b, scale_b
+    return jax.vmap(one, in_axes=(2, 1, 2, 2, 0), out_axes=(2, 1))(
+        kv_cache, kv_scales, q, s, pos)
 
 
 def apply_kv_update(kv_cache: jnp.ndarray, kv_new: jnp.ndarray,

@@ -49,7 +49,7 @@ class TTSService:
 
     # ------------------------------------------------------------------
     def load_engines(self, model_dir: Optional[str], workers: int,
-                     tiny: bool = False):
+                     tiny: bool = False, continuous: bool = False):
         from voice_tts_tpu.config import TTSConfig
         from voice_tts_tpu.engine import TTSEngine
 
@@ -61,9 +61,19 @@ class TTSService:
             if model_dir:
                 engine = TTSEngine.from_artifacts(model_dir)
             elif tiny:
-                engine = TTSEngine.tiny()
+                if continuous:
+                    # the slot scheduler needs the megakernel pack
+                    cfg = TTSConfig.tiny()
+                    cfg.engine.use_int8_decode = True
+                    cfg.engine.use_fused_decode = True
+                    cfg.generation.num_beams = 1
+                    engine = TTSEngine.random(cfg, seed=0)
+                else:
+                    engine = TTSEngine.tiny()
             else:
                 engine = TTSEngine.random(TTSConfig())
+            if continuous:
+                engine.cfg.server.continuous_batching = True
             if len(devices) > 1:
                 # pin replica i to chip i (otherwise every replica's
                 # parameters sit on the default device and all compute
@@ -80,11 +90,45 @@ class TTSService:
             asyncio.create_task(self._worker(i, engine, q))
 
     async def _worker(self, idx: int, engine, q: asyncio.Queue):
-        """Continuous-batching worker: drains queued requests (up to
-        `server.max_batch_size`, with a short gather window) into one
-        `engine.infer_batch` call."""
+        """Batching worker.  Two modes:
+
+        - slot-based continuous batching (`server.continuous_batching`):
+          requests stream into a `ContinuousBatcher` whose slots admit new
+          work mid-decode — no group barrier;
+        - grouped batching (default): drain queued requests (up to
+          `server.max_batch_size`, short gather window) into one
+          `engine.infer_batch` call.
+        """
         loop = asyncio.get_running_loop()
-        max_batch = getattr(engine.cfg.server, "max_batch_size", 8)
+        scfg = engine.cfg.server
+        if getattr(scfg, "continuous_batching", False):
+            try:
+                from voice_tts_tpu.engine.continuous import ContinuousBatcher
+
+                batcher = ContinuousBatcher(
+                    engine, chunk_steps=getattr(scfg, "chunk_steps", 16))
+                batcher.start()
+
+                async def wait_one(fut, holder, ev):
+                    await loop.run_in_executor(None, ev.wait)
+                    if fut.done():
+                        return
+                    if holder and isinstance(holder[0], Exception):
+                        fut.set_exception(holder[0])
+                    else:
+                        fut.set_result(holder[0])
+
+                while True:
+                    fut, req = await q.get()
+                    self.metrics["tts_batches_total"] += 1
+                    self.metrics["tts_batched_requests_total"] += 1
+                    holder, ev = batcher.submit(req)
+                    asyncio.ensure_future(wait_one(fut, holder, ev))
+            except ValueError as e:
+                # no megakernel pack / beam search: grouped fallback
+                logger.warning(f"continuous batching unavailable ({e}); "
+                               "falling back to grouped infer_batch")
+        max_batch = getattr(scfg, "max_batch_size", 8)
         while True:
             fut, req = await q.get()
             batch = [(fut, req)]
@@ -259,7 +303,8 @@ class TTSService:
 
 async def amain(args):
     service = TTSService()
-    service.load_engines(args.model_dir, args.workers, tiny=args.tiny)
+    service.load_engines(args.model_dir, args.workers, tiny=args.tiny,
+                         continuous=args.continuous_batching)
     await service.start_workers()
     logger.info("serving on %s:%d", args.host, args.port)
     await service.server.serve(args.host, args.port)
@@ -273,6 +318,10 @@ def main():
     parser.add_argument("--model-dir", type=str, default=None)
     parser.add_argument("--tiny", action="store_true",
                         help="tiny random-weight engine (demo/testing)")
+    parser.add_argument("--continuous-batching", action="store_true",
+                        help="slot-based continuous batching: requests join "
+                             "a running decode batch mid-flight (requires "
+                             "the fused decode megakernel; sampling path)")
     parser.add_argument("--platform", type=str, default=None,
                         choices=["cpu", "tpu"],
                         help="force the JAX backend (some accelerator "
