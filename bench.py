@@ -69,6 +69,12 @@ def build_engine(tiny: bool):
     # (bench_serving.py A/B: FUSED_BATCH=1)
     cfg.engine.use_fused_batch_decode = (
         os.environ.get("FUSED_BATCH", "0") == "1")
+    # beam decode through the batched megakernel (reference default is
+    # num_beams=3; bench runs beams=1, so pair FUSED_BEAM=1 with BEAMS=3)
+    cfg.engine.use_fused_beam_decode = (
+        os.environ.get("FUSED_BEAM", "0") == "1")
+    if os.environ.get("BEAMS"):
+        cfg.generation.num_beams = int(os.environ["BEAMS"])
     # bf16 s2mel/DiT compute (f32 softmax/LN stats); measured perf-neutral
     # at bench shapes (DiT is op-overhead-bound, not MXU-bound) — default off
     # to keep the reference's fp32 s2mel numerics

@@ -75,3 +75,8 @@ echo "[queue] appended runs done"; date
 run serving_cont env CONT_BATCH=1 python bench_serving.py
 run serving_cont_kv8 env CONT_BATCH=1 INT8_KV=1 python bench_serving.py
 echo "[queue] continuous-batching runs done"; date
+
+# 8. fused beam decode A/B at the reference default num_beams=3
+run bench_beam3 env BEAMS=3 python bench.py
+run bench_beam3_fused env BEAMS=3 FUSED_BEAM=1 python bench.py
+echo "[queue] beam runs done"; date

@@ -613,6 +613,37 @@ def test_fused_batch_full_decode_greedy(setup):
                                   np.asarray(res_x.codes))
 
 
+def test_fused_beam_matches_xla(setup):
+    """beam_decode with the megakernel reproduces the XLA beam path exactly
+    (beams share the position; only the cache-row reorder differs).  Covers
+    the reference DEFAULT config num_beams=3, plus the int8-KV variant."""
+    from voice_tts_tpu.models.gpt.beam import beam_decode
+
+    model, qparams, pack = setup
+    gen = GenerationConfig(do_sample=False, num_beams=3,
+                           repetition_penalty=10.0)
+    cond = jax.random.normal(jax.random.PRNGKey(1),
+                             (1, CFG.condition_num_latent, CFG.model_dim),
+                             jnp.bfloat16)
+    emo = jax.random.normal(jax.random.PRNGKey(2), (1, CFG.model_dim),
+                            jnp.bfloat16)
+    text = jnp.asarray([[3, 5, 7, 2, 9, 4, 0, 0]], dtype=jnp.int32)
+    tlen = jnp.asarray([6])
+    rng = jax.random.PRNGKey(3)
+
+    res_x = beam_decode(qparams, model, gen, cond, emo, text, tlen, rng, 12)
+    res_f = beam_decode(qparams, model, gen, cond, emo, text, tlen, rng, 12,
+                        fused_pack=pack)
+    np.testing.assert_array_equal(np.asarray(res_f.codes),
+                                  np.asarray(res_x.codes))
+    np.testing.assert_array_equal(np.asarray(res_f.lengths),
+                                  np.asarray(res_x.lengths))
+    res_q = beam_decode(qparams, model, gen, cond, emo, text, tlen, rng, 12,
+                        fused_pack=pack, int8_kv=True)
+    np.testing.assert_array_equal(np.asarray(res_q.codes),
+                                  np.asarray(res_x.codes))
+
+
 def test_fused_batch_int4_full_decode(setup):
     """Batched decode with the int4 pack produces valid codes at batch 2."""
     from voice_tts_tpu.ops.fused_decode import pack_gpt_int4

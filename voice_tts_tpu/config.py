@@ -324,6 +324,11 @@ class EngineConfig:
     # serving traffic (~1 GB/step at B=8/Tmax=512/bf16).  Composes with
     # use_int8_kv (int8 cache + per-row/position scales dequantized in VMEM)
     use_fused_batch_decode: bool = False
+    # run single-request beam search (the reference DEFAULT, num_beams=3)
+    # through the batched megakernel: beams share the decode position, so
+    # each step is one Pallas call over the K beams + an XLA cache-row
+    # reorder.  Requires use_fused_decode's pack and K <= 8
+    use_fused_beam_decode: bool = False
     # run teacher-forced latent + s2mel + vocoder as ONE jitted graph with a
     # single host sync (each extra sync costs a round trip on remote-attached
     # chips); per-stage timers require fuse_synthesis=False

@@ -933,6 +933,13 @@ class TTSEngine:
                                            cfg.engine.sample_rate, metrics))
         return results
 
+    def _beam_fused_pack(self):
+        """The megakernel pack for beam decode, when enabled and available."""
+        if (self.cfg.engine.use_fused_beam_decode
+                and self.cfg.generation.num_beams <= 8):
+            return self.fused_pack
+        return None
+
     @staticmethod
     def _batch_bucket(n: int) -> int:
         b = 1
@@ -970,7 +977,11 @@ class TTSEngine:
         elif len(jobs) == 1:
             res = beam_decode(self.params_gpt_rt, self.gpt, gen, cond, emo,
                               jnp.asarray(text), jnp.asarray(lens), sub,
-                              max_new=gen.max_mel_tokens)
+                              max_new=gen.max_mel_tokens,
+                              fused_pack=self._beam_fused_pack(),
+                              int8_kv=self.cfg.engine.use_int8_kv,
+                              int4_expand=self.cfg.engine.int4_expand,
+                              merge_stages=self.cfg.engine.merge_decode_stages)
         else:
             res = beam_decode_batch(self.params_gpt_rt, self.gpt, gen, cond,
                                     emo, jnp.asarray(text), jnp.asarray(lens),
@@ -1117,7 +1128,11 @@ class TTSEngine:
             res = beam_decode(self.params_gpt_rt, self.gpt, gen,
                               spk["cond_latents"], emovec, jnp.asarray(text),
                               jnp.asarray([min(text_len, bucket)]), sub,
-                              max_new=gen.max_mel_tokens)
+                              max_new=gen.max_mel_tokens,
+                              fused_pack=self._beam_fused_pack(),
+                              int8_kv=self.cfg.engine.use_int8_kv,
+                              int4_expand=self.cfg.engine.int4_expand,
+                              merge_stages=self.cfg.engine.merge_decode_stages)
         codes_np, lengths_np, hit_limit = self._fetch_decode(res)
         timers["gpt_gen_time"] += time.perf_counter() - t0
 

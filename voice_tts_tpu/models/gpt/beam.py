@@ -24,7 +24,7 @@ The KV cache is gather-reordered per step (same approach as HF
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +35,13 @@ from voice_tts_tpu.models.gpt.decode import (
     apply_typical,
 )
 from voice_tts_tpu.models.gpt.unified_voice import UnifiedVoice
+from voice_tts_tpu.ops.fused_decode import (BLOCK_T as FUSED_BLOCK_T,
+                                            FusedDecodePack,
+                                            apply_kv_update_batch,
+                                            apply_kv_update_q_batch,
+                                            cache_to_time_major,
+                                            fused_decode_step_batch,
+                                            quantize_kv_cache_batch)
 
 NEG = -1e9
 
@@ -72,25 +79,42 @@ def _length_penalize(sum_logprobs, length, length_penalty: float):
                                     length_penalty)
 
 
-@functools.partial(jax.jit, static_argnames=("model", "gen", "max_new"))
+@functools.partial(jax.jit,
+                   static_argnames=("model", "gen", "max_new", "int8_kv",
+                                    "int4_expand", "merge_stages"))
 def beam_decode(params, model: UnifiedVoice, gen: GenerationConfig,
                 cond_latents: jnp.ndarray, emo_vec: jnp.ndarray,
                 text_tokens: jnp.ndarray, text_lengths: jnp.ndarray,
-                rng: jax.Array, max_new: int) -> DecodeResult:
+                rng: jax.Array, max_new: int,
+                fused_pack: Optional[FusedDecodePack] = None,
+                int8_kv: bool = False, int4_expand: bool = False,
+                merge_stages: bool | int = False) -> DecodeResult:
     """Beam search/sample for a single request (batch 1 x K beams).
 
     Returns the best hypothesis as a (1, max_new) DecodeResult; `lengths`
     counts generated codes + 1 when a stop token ended the hypothesis (the
     engine then strips it, mirroring the sampling path contract).
+
+    With `fused_pack` (and K <= 8), each step runs the batched trunk
+    megakernel over the K beams (they share the position; only the per-step
+    cache-row reorder differs from the sampling path) — the reference's
+    DEFAULT config is `num_beams=3` (`infer_v2.py:604`), so this is the
+    default-latency path.  `int8_kv` stores the beam cache int8 with
+    per-(beam, position) scales.
     """
     cfg: GPTConfig = model.cfg
     k = gen.num_beams
     b, bl = text_tokens.shape
     assert b == 1, "beam decode drives one request (use beams for diversity)"
+    use_fused = (fused_pack is not None and k <= 8
+                 and not cfg.pallas_decode_attention)
+    int8_kv = int8_kv and use_fused
     p = cfg.condition_num_latent + 2 + bl + 2
     t_max = p + 1 + max_new
     if cfg.pallas_decode_attention:
         t_max += (-t_max) % 512
+    elif use_fused:
+        t_max += (-t_max) % FUSED_BLOCK_T
     vocab = cfg.number_mel_codes
     eos = cfg.stop_mel_token
 
@@ -111,6 +135,13 @@ def beam_decode(params, model: UnifiedVoice, gen: GenerationConfig,
     cache = jnp.broadcast_to(
         cache1, (cfg.layers, 2, k) + cache1.shape[3:]).copy()
     logits0 = jnp.broadcast_to(logits1, (k, vocab))
+
+    if use_fused:
+        cache = cache_to_time_major(cache)          # (L, 2, K, Tmax, D)
+        attn_bias = jnp.where(valid_k, 0.0, -1e30).astype(jnp.float32)
+        if int8_kv:
+            cache = quantize_kv_cache_batch(cache)  # (int8, scales) pair
+        interp = jax.default_backend() != "tpu"
 
     presence0 = jnp.zeros((k, vocab), dtype=bool)
     presence0 = presence0.at[:, 1].set(True)
@@ -192,7 +223,11 @@ def beam_decode(params, model: UnifiedVoice, gen: GenerationConfig,
             tokens, next_tokens[:, None].astype(jnp.int32), (0, state.step))
         presence = state.presence[next_beams]
         presence = presence.at[jnp.arange(k), next_tokens].set(True)
-        cache = jnp.take(state.cache, next_beams, axis=2)
+        if int8_kv:
+            cache = (jnp.take(state.cache[0], next_beams, axis=2),
+                     jnp.take(state.cache[1], next_beams, axis=1))
+        else:
+            cache = jnp.take(state.cache, next_beams, axis=2)
         return _BeamState(state.step + 1, tokens, next_scores, cache,
                           presence, next_tokens.astype(jnp.int32),
                           pool_scores, pool_seqs, pool_lens, done, rng)
@@ -211,9 +246,24 @@ def beam_decode(params, model: UnifiedVoice, gen: GenerationConfig,
         return (s.step < max_new) & ~s.done
 
     def body_fn(s: _BeamState):
-        logits, cache = model.apply(
-            params, s.last_tokens, s.step - 1, p + s.step, valid_k, s.cache,
-            method=UnifiedVoice.decode_step)
+        if use_fused:
+            emb = model.apply(params, s.last_tokens, s.step - 1,
+                              method=UnifiedVoice.embed_decode_token)
+            kv_c, kv_s = s.cache if int8_kv else (s.cache, None)
+            hidden, kv_new = fused_decode_step_batch(
+                emb, fused_pack, kv_c, attn_bias, p + s.step, cfg.heads,
+                interpret=interp, kv_scales=kv_s, int4_expand=int4_expand,
+                merge_stages=merge_stages)
+            if int8_kv:
+                cache = apply_kv_update_q_batch(kv_c, kv_s, kv_new,
+                                                p + s.step)
+            else:
+                cache = apply_kv_update_batch(s.cache, kv_new, p + s.step)
+            logits = model.apply(params, hidden, method=UnifiedVoice.readout)
+        else:
+            logits, cache = model.apply(
+                params, s.last_tokens, s.step - 1, p + s.step, valid_k,
+                s.cache, method=UnifiedVoice.decode_step)
         s = s._replace(cache=cache)
         return make_step(s, logits)
 
