@@ -89,12 +89,53 @@ def build_engine(tiny: bool):
     return TTSEngine.random(cfg, seed=0)
 
 
+def wait_for_backend(deadline_s: float = 480.0) -> bool:
+    """Absorb transient axon-tunnel outages before the real run.
+
+    A failed axon claim leaves non-daemon threads behind, so each probe runs
+    in a subprocess (os._exit there).  Probes retry until the deadline; if
+    none succeeds we still attempt the real run once — this only buys time,
+    it never gives up on behalf of the caller.
+    """
+    import subprocess
+
+    probe = ("import os\n"
+             "try:\n"
+             "    import jax\n"
+             "    jax.devices()\n"
+             "except Exception:\n"
+             "    os._exit(1)\n"
+             "os._exit(0)\n")
+    t0 = time.time()
+    while True:
+        remaining = deadline_s - (time.time() - t0)
+        if remaining <= 0:
+            return False
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=min(remaining, 240.0),
+            ).returncode
+        except subprocess.TimeoutExpired:
+            # hung backend init: a retry loop won't outwait this mode
+            return False
+        if rc == 0:
+            return True
+        print(f"bench: TPU backend unavailable, retrying "
+              f"({deadline_s - (time.time() - t0):.0f}s left)",
+              file=sys.stderr)
+        time.sleep(min(60.0, max(0.0, deadline_s - (time.time() - t0))))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--tiny", action="store_true",
                         help="tiny config (CPU smoke test)")
-    parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--repeats", type=int, default=5)
     args = parser.parse_args()
+
+    if not args.tiny:
+        wait_for_backend()
 
     try:
         import jax
@@ -118,8 +159,12 @@ def main():
         text_bench = "今天天气真好我们一起出去散步聊天吧."
         assert len(text_warm.rstrip(".")) >= 18 and len(text_bench.rstrip(".")) >= 17
 
-        # warm-up: compiles every stage graph for the buckets
-        engine.infer(prompt, text_warm, None)
+        # warm-up: compiles every stage graph for the buckets.  On the
+        # axon tunnel the first ~6 executions after a compile run well
+        # below steady-state speed, so warm several times before timing.
+        warmups = 1 if args.tiny else 4
+        for _ in range(warmups):
+            engine.infer(prompt, text_warm, None)
 
         rtfs, metrics = [], None
         for _ in range(args.repeats):

@@ -80,3 +80,7 @@ echo "[queue] continuous-batching runs done"; date
 run bench_beam3 env BEAMS=3 python bench.py
 run bench_beam3_fused env BEAMS=3 FUSED_BEAM=1 python bench.py
 echo "[queue] beam runs done"; date
+
+# 9. CFM velocity-eval scaling probe (fixed-overhead vs traffic bound)
+run micro_cfm python scripts/micro_cfm_scaling.py
+echo "[queue] cfm scaling done"; date

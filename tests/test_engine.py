@@ -168,6 +168,51 @@ def test_engine_beam_decode_path():
     assert len(res.wav) > 0 and np.isfinite(res.wav).all()
 
 
+def test_infer_batches_own_segments():
+    """Multi-segment `infer` routes through the infer_batch job machinery
+    (engine.batch_segments, default on).  Greedy codes — and therefore the
+    per-segment wav lengths — must match the sequential path; the samples
+    themselves differ because the CFM draws its noise from differently-split
+    rng keys on the two paths."""
+    import jax
+
+    sr = 22050
+    t = np.arange(int(0.5 * sr)) / sr
+    prompt = encode_wav_int16((0.4 * np.sin(2 * np.pi * 220 * t)) * 32767, sr)
+    text = "one two. three four. five."
+
+    def run(batched):
+        eng = TTSEngine.tiny(seed=0)
+        eng.cfg.engine.batch_segments = batched
+        eng._rng = jax.random.PRNGKey(3)
+        calls = {"decode": 0, "mel": 0}
+        orig_d, orig_m = eng._decode_jobs, eng._mel_jobs
+
+        def spy_d(*a, **k):
+            calls["decode"] += 1
+            return orig_d(*a, **k)
+
+        def spy_m(*a, **k):
+            calls["mel"] += 1
+            return orig_m(*a, **k)
+
+        eng._decode_jobs, eng._mel_jobs = spy_d, spy_m
+        res = eng.infer(prompt, text, None, do_sample=False,
+                        max_text_tokens_per_segment=4)
+        return res, calls
+
+    seq, seq_calls = run(False)
+    bat, bat_calls = run(True)
+    assert seq_calls == {"decode": 0, "mel": 0}  # sequential path
+    # 3 segments, one text bucket, batch cap >= 3: one decode sub-batch
+    assert bat_calls["decode"] >= 1
+    assert np.isfinite(bat.wav).all()
+    assert "synthesis_time" in bat.metrics and bat.metrics["gpt_gen_time"] > 0
+    # greedy codes identical => identical per-segment frame counts => the
+    # assembled wavs (with the same interval silences) have equal length
+    assert len(bat.wav) == len(seq.wav)
+
+
 def test_engine_infer_batch():
     engine = _tiny_engine()
     sr = 22050

@@ -383,6 +383,11 @@ class EngineConfig:
     # (reference `infer_v2.py` segments are <=120 text tokens) — 8 gives
     # >=3x margin so cap-hit retries stay rare
     codes_per_text_token: float = 8.0
+    # batch a multi-segment `infer` call's segments through the same
+    # sub-batched decode/synthesis machinery as `infer_batch` (decode wall
+    # ~ longest segment instead of the sum; weights amortize across rows).
+    # Streaming (`infer_generator`) stays sequential for time-to-first-audio
+    batch_segments: bool = True
     seed: int = 0
 
 

@@ -828,12 +828,23 @@ class TTSEngine:
             max_text_tokens_per_segment)
 
         timers = {"gpt_gen_time": 0.0, "gpt_forward_time": 0.0,
-                  "s2mel_time": 0.0, "bigvgan_time": 0.0}
-        wavs: List[np.ndarray] = []
-        for seg in segments:
-            wav = self._synthesize_segment(seg, spk, emovec, timers, verbose,
-                                           generation_kwargs)
-            wavs.append(wav)
+                  "s2mel_time": 0.0, "bigvgan_time": 0.0,
+                  "prepare_time": time.perf_counter() - start_time}
+        if len(segments) > 1 and cfg.engine.batch_segments:
+            # batch the segments through the infer_batch job machinery:
+            # decode advances all segments together (wall ~ longest segment,
+            # weights/KV traffic amortize across rows)
+            jobs = [{"tokens": seg, "spk": spk, "emovec": emovec}
+                    for seg in segments]
+            self._run_segment_jobs(jobs, self._generation_config(
+                generation_kwargs), timers)
+            wavs: List[np.ndarray] = [j["wav"] for j in jobs]
+        else:
+            wavs = []
+            for seg in segments:
+                wav = self._synthesize_segment(seg, spk, emovec, timers,
+                                               verbose, generation_kwargs)
+                wavs.append(wav)
 
         full = post.insert_interval_silence(wavs, cfg.engine.sample_rate,
                                             interval_silence)
@@ -893,30 +904,7 @@ class TTSEngine:
                 jobs.append({"req": ri, "seg": si, "tokens": seg,
                              "spk": spk, "emovec": emovec})
 
-        gen = cfg.generation
-        batch_cap = max(1, cfg.server.max_batch_size)
-
-        # --- group jobs by text bucket, decode in sub-batches
-        by_bucket: Dict[int, List[dict]] = {}
-        for job in jobs:
-            ids = self.tokenizer.convert_tokens_to_ids(job["tokens"])
-            job["ids"] = ids
-            bucket = post.pick_bucket(len(ids), cfg.engine.text_buckets)
-            job["bucket"] = bucket
-            by_bucket.setdefault(bucket, []).append(job)
-
-        for bucket, group in by_bucket.items():
-            for ofs in range(0, len(group), batch_cap):
-                sub = group[ofs:ofs + batch_cap]
-                self._decode_jobs(sub, bucket, gen)
-
-        # --- group by code bucket for s2mel/vocoder
-        by_cbucket: Dict[int, List[dict]] = {}
-        for job in jobs:
-            by_cbucket.setdefault(job["cbucket"], []).append(job)
-        for cbucket, group in by_cbucket.items():
-            for ofs in range(0, len(group), batch_cap):
-                self._mel_jobs(group[ofs:ofs + batch_cap], cbucket)
+        self._run_segment_jobs(jobs, cfg.generation)
 
         # --- reassemble per request
         results: List[InferenceResult] = []
@@ -932,6 +920,46 @@ class TTSEngine:
             results.append(InferenceResult(full.astype(np.int16),
                                            cfg.engine.sample_rate, metrics))
         return results
+
+    def _run_segment_jobs(self, jobs: List[dict], gen,
+                          timers: Optional[dict] = None) -> None:
+        """Run decode + synthesis for a list of segment jobs, sub-batched by
+        shape bucket (shared by `infer_batch` and multi-segment `infer`).
+
+        Each job needs {"tokens", "spk", "emovec"} and gains
+        {"ids", "bucket", "codes", "code_len", "cbucket", "wav"}.
+        """
+        cfg = self.cfg
+        batch_cap = max(1, cfg.server.max_batch_size)
+
+        # --- group jobs by text bucket, decode in sub-batches
+        t0 = time.perf_counter()
+        by_bucket: Dict[int, List[dict]] = {}
+        for job in jobs:
+            ids = self.tokenizer.convert_tokens_to_ids(job["tokens"])
+            job["ids"] = ids
+            bucket = post.pick_bucket(len(ids), cfg.engine.text_buckets)
+            job["bucket"] = bucket
+            by_bucket.setdefault(bucket, []).append(job)
+
+        for bucket, group in by_bucket.items():
+            for ofs in range(0, len(group), batch_cap):
+                sub = group[ofs:ofs + batch_cap]
+                self._decode_jobs(sub, bucket, gen)
+        if timers is not None:
+            timers["gpt_gen_time"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
+
+        # --- group by code bucket for s2mel/vocoder
+        by_cbucket: Dict[int, List[dict]] = {}
+        for job in jobs:
+            by_cbucket.setdefault(job["cbucket"], []).append(job)
+        for cbucket, group in by_cbucket.items():
+            for ofs in range(0, len(group), batch_cap):
+                self._mel_jobs(group[ofs:ofs + batch_cap], cbucket)
+        if timers is not None:
+            timers["synthesis_time"] = (timers.get("synthesis_time", 0.0)
+                                        + time.perf_counter() - t0)
 
     def _beam_fused_pack(self):
         """The megakernel pack for beam decode, when enabled and available."""
