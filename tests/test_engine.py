@@ -213,6 +213,40 @@ def test_infer_batches_own_segments():
     assert len(bat.wav) == len(seq.wav)
 
 
+def test_should_batch_segments_routing():
+    """Cost-aware routing: with the batch-1 megakernel available but no
+    batched megakernel, 2 equal segments decode faster sequentially
+    (0.70*sum < 1.81*max); 3+ segments batch.  With the batched megakernel
+    (or neither kernel), batching wins from 2 segments up."""
+    eng = TTSEngine.tiny(seed=0)
+    gen = eng._generation_config({})
+    assert gen.num_beams == 1
+    seg2 = [["a"] * 10, ["b"] * 10]
+    seg3 = [["a"] * 10, ["b"] * 10, ["c"] * 10]
+
+    eng.cfg.engine.batch_segments = True
+    # no megakernel: XLA class both ways -> batch whenever max < sum
+    eng.fused_pack = None
+    assert eng._should_batch_segments(seg2, gen)
+    # batch-1 megakernel only: sequential wins at 2 segments, loses at 3
+    eng.fused_pack = object()
+    eng.cfg.engine.use_fused_batch_decode = False
+    assert not eng._should_batch_segments(seg2, gen)
+    assert eng._should_batch_segments(seg3, gen)
+    # batched megakernel: batch from 2 up
+    eng.cfg.engine.use_fused_batch_decode = True
+    assert eng._should_batch_segments(seg2, gen)
+    # beams: same kernel class either way -> batch
+    gen3 = eng._generation_config({"num_beams": 3})
+    eng.cfg.engine.use_fused_batch_decode = False
+    assert eng._should_batch_segments(seg2, gen3)
+    # master switch off / single segment
+    eng.cfg.engine.batch_segments = False
+    assert not eng._should_batch_segments(seg3, gen)
+    eng.cfg.engine.batch_segments = True
+    assert not eng._should_batch_segments([["a"] * 5], gen)
+
+
 def test_engine_infer_batch():
     engine = _tiny_engine()
     sr = 22050

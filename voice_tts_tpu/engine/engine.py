@@ -830,14 +830,14 @@ class TTSEngine:
         timers = {"gpt_gen_time": 0.0, "gpt_forward_time": 0.0,
                   "s2mel_time": 0.0, "bigvgan_time": 0.0,
                   "prepare_time": time.perf_counter() - start_time}
-        if len(segments) > 1 and cfg.engine.batch_segments:
+        gen = self._generation_config(generation_kwargs)
+        if self._should_batch_segments(segments, gen):
             # batch the segments through the infer_batch job machinery:
             # decode advances all segments together (wall ~ longest segment,
             # weights/KV traffic amortize across rows)
             jobs = [{"tokens": seg, "spk": spk, "emovec": emovec}
                     for seg in segments]
-            self._run_segment_jobs(jobs, self._generation_config(
-                generation_kwargs), timers)
+            self._run_segment_jobs(jobs, gen, timers)
             wavs: List[np.ndarray] = [j["wav"] for j in jobs]
         else:
             wavs = []
@@ -920,6 +920,31 @@ class TTSEngine:
             results.append(InferenceResult(full.astype(np.int16),
                                            cfg.engine.sample_rate, metrics))
         return results
+
+    def _should_batch_segments(self, segments: List[List[str]], gen) -> bool:
+        """Route a multi-segment `infer` to the batched job machinery only
+        when the batched decode is estimated faster than decoding the
+        segments sequentially.
+
+        Decode wall is weight-DMA-dominated, so per-step cost is nearly
+        batch-size-independent within each kernel class; what differs is the
+        per-token cost of the class (v5e measurements, STATUS.md): fused
+        batch-1 megakernel 0.70 ms/token, batched megakernel ~0.85, XLA
+        batched decode 1.81.  Sequential decode pays its per-token rate on
+        the SUM of segment lengths; batched pays its rate on the MAX.
+        """
+        if not self.cfg.engine.batch_segments or len(segments) <= 1:
+            return False
+        lens = [len(s) for s in segments]  # codes scale ~linearly with text
+        if gen.num_beams > 1:
+            # per-request beam and vmapped-batch beam are the same kernel
+            # class either way -> batching wins whenever max < sum
+            return True
+        fused_single = self.fused_pack is not None
+        fused_batch = fused_single and self.cfg.engine.use_fused_batch_decode
+        r_seq = 0.70 if fused_single else 1.81
+        r_bat = 0.85 if fused_batch else 1.81
+        return r_bat * max(lens) < r_seq * sum(lens)
 
     def _run_segment_jobs(self, jobs: List[dict], gen,
                           timers: Optional[dict] = None) -> None:
