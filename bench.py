@@ -40,11 +40,23 @@ def build_engine(tiny: bool):
         return TTSEngine.tiny()
 
     cfg = TTSConfig()
-    # bench-scale generation: ~5 s of audio for a 20-char utterance
-    cfg.generation.max_mel_tokens = 256
-    cfg.generation.num_beams = 1
-    cfg.engine.text_buckets = (48,)
-    cfg.engine.code_buckets = (256,)
+    if os.environ.get("BENCH_LONG") == "1":
+        # long-form mode: ~240-char text -> 2-3 segments of <=120 tokens,
+        # ~1500 codes/segment (the reference max_mel_tokens cap).  Exercises
+        # multi-segment batching (EngineConfig.batch_segments) and the
+        # context lengths where the int8 KV cache pays (INT8_KV=1 A/B).
+        cfg.generation.max_mel_tokens = 1536
+        cfg.generation.num_beams = 1
+        cfg.engine.text_buckets = (48, 128)
+        cfg.engine.code_buckets = (256, 768, 1536)
+        cfg.engine.batch_segments = (
+            os.environ.get("BATCH_SEGMENTS", "1") == "1")
+    else:
+        # bench-scale generation: ~5 s of audio for a 20-char utterance
+        cfg.generation.max_mel_tokens = 256
+        cfg.generation.num_beams = 1
+        cfg.engine.text_buckets = (48,)
+        cfg.engine.code_buckets = (256,)
     cfg.engine.max_prompt_seconds = 15.0
     cfg.engine.use_fp16 = True  # bf16 GPT decode path
     # bounded-read Pallas decode attention: measured neutral at this
@@ -158,6 +170,13 @@ def main():
         text_warm = "欢迎大家来体验这个语音合成系统谢谢大家."
         text_bench = "今天天气真好我们一起出去散步聊天吧."
         assert len(text_warm.rstrip(".")) >= 18 and len(text_bench.rstrip(".")) >= 17
+        metric_name = "e2e_rtf_20char_zh"
+        if not args.tiny and os.environ.get("BENCH_LONG") == "1":
+            # ~12 sentences, ~240 chars -> 2-3 <=120-token segments
+            sentences = [text_warm, text_bench] * 6
+            text_bench = "".join(sentences)
+            text_warm = text_bench
+            metric_name = "e2e_rtf_240char_zh"
 
         # warm-up: compiles every stage graph for the buckets.  On the
         # axon tunnel the first ~6 executions after a compile run well
@@ -174,7 +193,7 @@ def main():
         rtf = float(np.median(rtfs))
 
         result = {
-            "metric": "e2e_rtf_20char_zh",
+            "metric": metric_name,
             "value": round(rtf, 5),
             "unit": "rtf",
             "vs_baseline": round(BASELINE_RTF / rtf, 3) if rtf > 0 else 0.0,

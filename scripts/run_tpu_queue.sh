@@ -84,3 +84,10 @@ echo "[queue] beam runs done"; date
 # 9. CFM velocity-eval scaling probe (fixed-overhead vs traffic bound)
 run micro_cfm python scripts/micro_cfm_scaling.py
 echo "[queue] cfm scaling done"; date
+
+# 10. long-form (~240-char, multi-segment) bench: segment batching and the
+# int8 KV cache at the reference-scale max_mel_tokens context
+run bench_long env BENCH_LONG=1 python bench.py --repeats 3
+run bench_long_kv8 env BENCH_LONG=1 INT8_KV=1 python bench.py --repeats 3
+run bench_long_seq env BENCH_LONG=1 BATCH_SEGMENTS=0 python bench.py --repeats 3
+echo "[queue] long-form runs done"; date
