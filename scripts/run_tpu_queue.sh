@@ -33,11 +33,11 @@ done
 echo "[queue] tunnel up"; date
 
 run() {  # run <label> <cmd...>
-    echo "[queue] === $1 ==="; date
-    shift
-    timeout 3000 "$@" > "/tmp/q_$1.log" 2>&1
+    local label="$1"; shift   # capture before shift — $1 changes
+    echo "[queue] === $label ==="; date
+    timeout 3000 "$@" > "/tmp/q_$label.log" 2>&1
     echo "[queue] exit $? — tail:"
-    tail -n 12 "/tmp/q_$1.log"
+    tail -n 12 "/tmp/q_$label.log"
 }
 
 # 1. shared-act vocoder vs module vs grouped at full scale
