@@ -140,6 +140,55 @@ def test_engine_streaming_generator():
     assert len(sil) >= 1
 
 
+def test_quick_streaming_tokens_keeps_early_segments_small():
+    """`infer_generator(quick_streaming_tokens=N)`: segments don't merge until
+    the running token total exceeds N (reference `front.py:406-415`), so
+    streaming yields more, smaller chunks early."""
+    engine = _tiny_engine()
+    # note the reference ALSO merges whenever the pair fits in max/2
+    # (`front.py:418-419`), independent of quick_streaming_tokens — so the
+    # knob only shows at segment sizes above max/2
+    tokens = engine.tokenizer.tokenize("one. two. three.")
+    merged = engine.tokenizer.split_segments(
+        tokens, max_text_tokens_per_segment=8)
+    quick = engine.tokenizer.split_segments(
+        tokens, max_text_tokens_per_segment=8, quick_streaming_tokens=1000)
+    assert len(quick) > len(merged)
+    assert [t for seg in quick for t in seg] == \
+           [t for seg in merged for t in seg]
+
+    sr = 22050
+    t = np.arange(int(0.5 * sr)) / sr
+    prompt = encode_wav_int16((0.4 * np.sin(2 * np.pi * 220 * t)) * 32767, sr)
+    chunks_quick = list(engine.infer_generator(
+        prompt, "one. two. three.", max_text_tokens_per_segment=8,
+        quick_streaming_tokens=1000))
+    chunks_merged = list(engine.infer_generator(
+        prompt, "one. two. three.", max_text_tokens_per_segment=8))
+    assert len(chunks_quick) > len(chunks_merged)
+
+
+def test_more_segment_before_plumbs_to_quick_streaming():
+    """`infer(more_segment_before=N)` is the reference's name for the same
+    knob (`infer_v2.py:442,449` forwards it positionally into
+    `infer_generator`'s quick_streaming_tokens)."""
+    engine = _tiny_engine()
+    sr = 22050
+    t = np.arange(int(0.5 * sr)) / sr
+    prompt = encode_wav_int16((0.4 * np.sin(2 * np.pi * 220 * t)) * 32767, sr)
+    res = engine.infer(prompt, "one. two. three.", None,
+                       max_text_tokens_per_segment=8,
+                       more_segment_before=1000)
+    assert len(res.wav) > 0
+    chunks = list(engine.infer(prompt, "one. two. three.", None,
+                               stream_return=True,
+                               max_text_tokens_per_segment=8,
+                               more_segment_before=1000))
+    assert len(chunks) > len(list(engine.infer(
+        prompt, "one. two. three.", None, stream_return=True,
+        max_text_tokens_per_segment=8)))
+
+
 def test_typical_sampling_runs():
     import jax
     import jax.numpy as jnp

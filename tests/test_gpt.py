@@ -93,6 +93,40 @@ def test_conditioning_parity(ref_and_params):
     np.testing.assert_allclose(ours, ref_cond, atol=2e-4, rtol=1e-3)
 
 
+@needs_ref
+@pytest.mark.parametrize("variant", ["conv2d", "conv2d6", "conv2d8", "linear"])
+def test_conditioning_parity_subsampling_variants(variant):
+    """All reference subsampling variants (`conformer_encoder.py:374-385`):
+    conv2d (4x, the reference signature DEFAULT at `conformer_encoder.py:325`),
+    conv2d6, conv2d8, linear — converted weights, get_conditioning parity."""
+    import dataclasses
+
+    import torch
+    install_reference_gpt()
+    cfg = dataclasses.replace(
+        TINY,
+        condition_module=dataclasses.replace(
+            TINY.condition_module, input_layer=variant),
+        emo_condition_module=dataclasses.replace(
+            TINY.emo_condition_module, input_layer=variant))
+    ref = _build_reference(cfg)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_unified_voice(sd)
+    model = UnifiedVoice(cfg)
+
+    rng = np.random.default_rng(8)
+    t = 35  # survives 8x subsampling
+    spk = rng.normal(size=(1, t, 1024)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        ref_cond = ref.get_conditioning(
+            torch.from_numpy(spk).transpose(1, 2), torch.tensor([t])).numpy()
+    ours = np.asarray(model.apply(
+        params, jnp.asarray(spk), jnp.asarray([t], dtype=jnp.int32),
+        method=UnifiedVoice.get_conditioning))
+    assert ours.shape == ref_cond.shape
+    np.testing.assert_allclose(ours, ref_cond, atol=2e-4, rtol=1e-3)
+
+
 def test_emovec_parity(ref_and_params):
     import torch
     cfg, ref, params = ref_and_params

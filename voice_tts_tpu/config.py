@@ -69,7 +69,7 @@ class ConformerConfig:
     attention_heads: int = 8
     linear_units: int = 2048
     num_blocks: int = 6
-    input_layer: str = "conv2d2"  # linear | conv2d2 | conv2d
+    input_layer: str = "conv2d2"  # linear | conv2d2 | conv2d | conv2d6 | conv2d8
     perceiver_mult: int = 2
     cnn_module_kernel: int = 15
     pos_enc_layer_type: str = "rel_pos"

@@ -722,7 +722,7 @@ class TTSEngine:
 
     def _prepare(self, spk_audio_prompt, emo_audio_prompt, emo_alpha,
                  emo_vector, use_emo_text, emo_text, use_random, text,
-                 max_text_tokens_per_segment):
+                 max_text_tokens_per_segment, quick_streaming_tokens=0):
         """Emotion-source resolution + conditioning + segmentation
         (reference `infer_v2.py:476-583`)."""
         if use_emo_text or emo_vector is not None:
@@ -770,7 +770,8 @@ class TTSEngine:
 
         tokens = self.tokenizer.tokenize(text)
         segments = self.tokenizer.split_segments(
-            tokens, max_text_tokens_per_segment=max_text_tokens_per_segment)
+            tokens, max_text_tokens_per_segment=max_text_tokens_per_segment,
+            quick_streaming_tokens=quick_streaming_tokens)
         return spk, emovec, segments
 
     def infer_generator(self, spk_audio_prompt, text: str,
@@ -781,14 +782,20 @@ class TTSEngine:
                         use_random: bool = False, interval_silence: int = 200,
                         verbose: bool = False,
                         max_text_tokens_per_segment: int = 120,
+                        quick_streaming_tokens: int = 0,
                         **generation_kwargs):
         """Streaming synthesis: yields per-segment int16 waveforms followed by
         the inter-segment silence gap (mirrors `stream_return=True`,
-        reference `infer_v2.py:745-749`)."""
+        reference `infer_v2.py:745-749`).
+
+        `quick_streaming_tokens` keeps the first ~N tokens of text in smaller
+        unmerged segments so first audio arrives sooner (reference
+        `infer_v2.py:467,583` -> `front.py:406-415`).
+        """
         spk, emovec, segments = self._prepare(
             spk_audio_prompt, emo_audio_prompt, emo_alpha, emo_vector,
             use_emo_text, emo_text, use_random, text,
-            max_text_tokens_per_segment)
+            max_text_tokens_per_segment, quick_streaming_tokens)
         timers = {"gpt_gen_time": 0.0, "gpt_forward_time": 0.0,
                   "s2mel_time": 0.0, "bigvgan_time": 0.0}
         sil = np.zeros(int(self.cfg.engine.sample_rate * interval_silence
@@ -806,26 +813,31 @@ class TTSEngine:
               use_emo_text: bool = False, emo_text: Optional[str] = None,
               use_random: bool = False, interval_silence: int = 200,
               verbose: bool = False, max_text_tokens_per_segment: int = 120,
-              stream_return: bool = False,
+              stream_return: bool = False, more_segment_before: int = 0,
               **generation_kwargs) -> InferenceResult:
         """Synthesize `text` in the voice of `spk_audio_prompt`.
 
         Mirrors `IndexTTS2.infer` (reference `infer_v2.py:437-463`); returns
         an InferenceResult and optionally writes an int16 WAV.  With
         `stream_return=True` returns the segment generator instead.
+
+        `more_segment_before` is the reference's name for the segmentation
+        knob it forwards positionally into `infer_generator`'s
+        `quick_streaming_tokens` (`infer_v2.py:442,449,467`): the first ~N
+        tokens stay in smaller unmerged segments.
         """
         if stream_return:
             return self.infer_generator(
                 spk_audio_prompt, text, emo_audio_prompt, emo_alpha,
                 emo_vector, use_emo_text, emo_text, use_random,
                 interval_silence, verbose, max_text_tokens_per_segment,
-                **generation_kwargs)
+                more_segment_before, **generation_kwargs)
         start_time = time.perf_counter()
         cfg = self.cfg
         spk, emovec, segments = self._prepare(
             spk_audio_prompt, emo_audio_prompt, emo_alpha, emo_vector,
             use_emo_text, emo_text, use_random, text,
-            max_text_tokens_per_segment)
+            max_text_tokens_per_segment, more_segment_before)
 
         timers = {"gpt_gen_time": 0.0, "gpt_forward_time": 0.0,
                   "s2mel_time": 0.0, "bigvgan_time": 0.0,
@@ -898,7 +910,9 @@ class TTSEngine:
                 req.get("emo_alpha", 1.0), req.get("emo_vector"),
                 req.get("use_emo_text", False), req.get("emo_text"),
                 req.get("use_random", False), req["text"],
-                req.get("max_text_tokens_per_segment", 120))
+                req.get("max_text_tokens_per_segment", 120),
+                req.get("more_segment_before",
+                        req.get("quick_streaming_tokens", 0)))
             prepared.append((req, spk, emovec, segments))
             for si, seg in enumerate(segments):
                 jobs.append({"req": ri, "seg": si, "tokens": seg,

@@ -4,7 +4,9 @@ Parity with reference `indextts/gpt/conformer_encoder.py` +
 `indextts/gpt/conformer/{attention,embedding,subsampling}.py` as configured by
 UnifiedVoice (`model_v2.py:352-376`): rel-pos multi-head attention *without*
 rel-shift, GLU conv module (kernel 15, SiLU), no macaron FFN, pre-norm,
-conv2d2/linear subsampling.
+all five reference subsampling variants (`conformer_encoder.py:374-385` /
+`conformer/subsampling.py:81-348`): linear (1x), conv2d2 (2x), conv2d (4x,
+the reference signature default), conv2d6 (6x), conv2d8 (8x).
 """
 
 from __future__ import annotations
@@ -19,6 +21,23 @@ import numpy as np
 
 from voice_tts_tpu.config import ConformerConfig
 from voice_tts_tpu.models.layers import Conv1d, LayerNorm, Linear
+
+
+# Conv2dSubsampling{2,4,6,8} stage specs (reference `conformer/subsampling.py`):
+# each stage is Conv2d(kernel, stride) + ReLU over (B, C, T, F); the time mask
+# subsamples by [start::step] per stage exactly as the reference slices it.
+_SUB_CONV_STAGES = {
+    "conv2d2": ((3, 2),),                    # subsampling.py:135-186
+    "conv2d": ((3, 2), (3, 2)),              # subsampling.py:189-242 (4x, default)
+    "conv2d6": ((3, 2), (5, 3)),             # subsampling.py:245-293
+    "conv2d8": ((3, 2), (3, 2), (3, 2)),     # subsampling.py:296-348
+}
+_SUB_MASK_SLICES = {
+    "conv2d2": ((2, 2),),
+    "conv2d": ((2, 2), (2, 2)),
+    "conv2d6": ((2, 2), (4, 3)),
+    "conv2d8": ((2, 2), (2, 2), (2, 2)),
+}
 
 
 def sinusoid_position_encoding(max_len: int, d_model: int) -> np.ndarray:
@@ -136,22 +155,29 @@ class ConformerEncoder(nn.Module):
             lengths = jnp.full((b,), t, dtype=jnp.int32)
         mask = (jnp.arange(t)[None, :] < lengths[:, None])[:, None, :]  # (B,1,T)
 
-        if cfg.input_layer == "conv2d2":
+        if cfg.input_layer in _SUB_CONV_STAGES:
             h = x[:, None, :, :]  # (B, 1, T, F)
-            w = self.param("sub_conv_weight", nn.initializers.lecun_normal(),
-                           (cfg.output_size, 1, 3, 3))
-            bconv = self.param("sub_conv_bias", nn.initializers.zeros,
-                               (cfg.output_size,))
-            h = jax.lax.conv_general_dilated(
-                h, w, (2, 2), [(0, 0), (0, 0)],
-                dimension_numbers=("NCHW", "OIHW", "NCHW")) + bconv[None, :, None, None]
-            h = nn.relu(h)
+            for i, (k, s) in enumerate(_SUB_CONV_STAGES[cfg.input_layer]):
+                tag = "" if i == 0 else str(i)
+                w = self.param(f"sub_conv{tag}_weight",
+                               nn.initializers.lecun_normal(),
+                               (cfg.output_size, h.shape[1], k, k))
+                bconv = self.param(f"sub_conv{tag}_bias", nn.initializers.zeros,
+                                   (cfg.output_size,))
+                h = jax.lax.conv_general_dilated(
+                    h, w, (s, s), [(0, 0), (0, 0)],
+                    dimension_numbers=("NCHW", "OIHW", "NCHW")
+                ) + bconv[None, :, None, None]
+                h = nn.relu(h)
+                start, step = _SUB_MASK_SLICES[cfg.input_layer][i]
+                mask = mask[:, :, start::step]
             bb, cc, tt, ff = h.shape
             h = jnp.transpose(h, (0, 2, 1, 3)).reshape(bb, tt, cc * ff)
             h = Linear(cfg.output_size, name="sub_out")(h)
-            mask = mask[:, :, 2::2]
         elif cfg.input_layer == "linear":
-            h = Linear(cfg.output_size, name="sub_linear")(x)
+            # LinearNoSubsampling (`subsampling.py:35-78`): out.0 Linear +
+            # out.1 LayerNorm — converter maps them to sub_out / sub_norm
+            h = Linear(cfg.output_size, name="sub_out")(x)
             h = LayerNorm(name="sub_norm")(h)
         else:
             raise NotImplementedError(cfg.input_layer)

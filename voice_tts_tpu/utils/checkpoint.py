@@ -252,9 +252,18 @@ def convert_w2v_bert(sd: Mapping[str, np.ndarray], output_layer: int = 17) -> Di
 
 def _add_conformer_rules(r: Renamer, src: str, dst: str) -> None:
     """Rules for a wenet ConformerEncoder subtree (`conformer_encoder.py`)."""
-    r.rule(rf"^{src}\.embed\.conv\.0\.weight$", rf"{dst}/sub_conv_weight")
-    r.rule(rf"^{src}\.embed\.conv\.0\.bias$", rf"{dst}/sub_conv_bias")
+    # Conv2dSubsampling{2,4,6,8}: torch Sequential interleaves ReLU, so conv
+    # stage i lives at `embed.conv.{2i}`; flax names stage 0 `sub_conv_*` and
+    # stage i>0 `sub_conv{i}_*` (models/gpt/conformer.py)
+    def sub_conv(m):
+        stage = int(m.group(1)) // 2
+        tag = "" if stage == 0 else str(stage)
+        return f"{dst}/sub_conv{tag}_{m.group(2)}"
+
+    r.rule(rf"^{src}\.embed\.conv\.(\d+)\.(weight|bias)$", sub_conv)
     r.rule(rf"^{src}\.embed\.out\.0\.(weight|bias)$", rf"{dst}/sub_out/\1")
+    # Conv2dSubsampling6/8 name the output projection `linear`, not `out.0`
+    r.rule(rf"^{src}\.embed\.linear\.(weight|bias)$", rf"{dst}/sub_out/\1")
     r.rule(rf"^{src}\.embed\.out\.1\.(weight|bias)$", rf"{dst}/sub_norm/\1")
     r.rule(rf"^{src}\.embed\.pos_enc\..*$", None)
     r.rule(rf"^{src}\.encoders\.(\d+)\.self_attn\.(linear_(?:q|k|v|out|pos))\.(weight|bias)$",
