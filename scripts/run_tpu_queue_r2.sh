@@ -1,15 +1,16 @@
 #!/bin/bash
 # Priority-ordered trim of run_tpu_queue.sh for a short round: highest-value
 # A/Bs first so partial completion still yields decisions.  Logs to
-# /tmp/q_*.log.  Launch detached:
-#   nohup setsid bash scripts/run_tpu_queue_r2.sh > /tmp/tpu_queue.log 2>&1 &
+# /tmp/q2_*.log (round-specific prefix so round-1 /tmp/q_*.log survives).
+# Launch detached:
+#   nohup setsid bash scripts/run_tpu_queue_r2.sh > /tmp/tpu_queue_r2.log 2>&1 &
 set -u
 cd /root/repo
 
 probe() {
-    # devices + a trivial sum take <30 s when the tunnel is healthy; a
-    # hung execution should fail fast so the retry loop cycles quickly
-    timeout 180 python - <<'EOF'
+    # match bench.py's wait_for_backend budget (up to 240 s per probe): a
+    # cold backend init over the tunnel can legitimately take minutes
+    timeout 300 python - <<'EOF'
 import os, time, traceback
 try:
     import jax, jax.numpy as jnp
@@ -34,9 +35,9 @@ echo "[queue] tunnel up"; date
 run() {  # run <label> <cmd...>
     local label="$1"; shift   # capture before shift — $1 changes
     echo "[queue] === $label ==="; date
-    timeout 3000 "$@" > "/tmp/q_$label.log" 2>&1
+    timeout 3000 "$@" > "/tmp/q2_$label.log" 2>&1
     echo "[queue] exit $? — tail:"
-    tail -n 12 "/tmp/q_$label.log"
+    tail -n 12 "/tmp/q2_$label.log"
 }
 
 # 1. baseline on this machine (fresh cache)

@@ -127,3 +127,93 @@ def test_metrics_endpoint(server):
     assert resp.status == 200
     assert "tts_requests_total" in body
     assert "tts_queue_depth" in body
+
+
+def test_replica_watchdog_rebuilds_wedged_engine():
+    """A replica wedged by a fatal device error is rebuilt from the engine
+    factory mid-queue and service continues (VERDICT r1 item 10 — the
+    in-process analogue of gunicorn worker recycling,
+    reference `gunicorn_config.py:19-22,63-70`)."""
+    from voice_tts_tpu.serving.app import TTSService
+    from tests.test_engine import _tiny_engine
+
+    good = _tiny_engine()
+    service = TTSService()
+    rebuilt = []
+
+    def factory(i):
+        rebuilt.append(i)
+        return good
+
+    service._engine_factory = factory
+
+    class Wedged:
+        cfg = good.cfg
+
+        def infer_batch(self, reqs):
+            raise RuntimeError("simulated device failure: HBM RESOURCE_EXHAUSTED")
+
+    service.engines.append(Wedged())
+
+    sr = 22050
+    t = np.arange(int(0.5 * sr)) / sr
+    prompt = encode_wav_int16((0.4 * np.sin(2 * np.pi * 220 * t)) * 32767, sr)
+    req = {"spk_audio_prompt": prompt, "text": "hi."}
+
+    async def scenario():
+        await service.start_workers()
+        # the poisoned replica fails the in-flight request...
+        with pytest.raises(RuntimeError):
+            await service.submit(dict(req), timeout=300)
+        # ...and the watchdog rebuilds it; queued work then succeeds
+        res = await asyncio.wait_for(service.submit(dict(req)), timeout=300)
+        assert len(res.wav) > 0
+
+    asyncio.run(scenario())
+    assert rebuilt == [0]
+    assert service.engines[0] is good
+    assert service.metrics["tts_replica_rebuilds_total"] == 1
+
+
+def test_consecutive_failures_trigger_rebuild():
+    """Non-fatal errors don't rebuild immediately, but a replica that keeps
+    failing crosses max_consecutive_failures and gets recycled."""
+    from voice_tts_tpu.serving.app import TTSService
+    from tests.test_engine import _tiny_engine
+
+    good = _tiny_engine()
+    good.cfg.server.max_consecutive_failures = 2
+    service = TTSService()
+    rebuilt = []
+
+    def factory(i):
+        rebuilt.append(i)
+        return good
+
+    service._engine_factory = factory
+
+    class Flaky:
+        cfg = good.cfg
+
+        def infer_batch(self, reqs):
+            raise KeyError("mundane per-request bug")  # not fatal by itself
+
+    service.engines.append(Flaky())
+
+    sr = 22050
+    t = np.arange(int(0.4 * sr)) / sr
+    prompt = encode_wav_int16((0.4 * np.sin(2 * np.pi * 330 * t)) * 32767, sr)
+    req = {"spk_audio_prompt": prompt, "text": "yo."}
+
+    async def scenario():
+        await service.start_workers()
+        with pytest.raises(KeyError):
+            await service.submit(dict(req), timeout=300)
+        assert rebuilt == []  # one mundane failure: no recycle yet
+        with pytest.raises(KeyError):
+            await service.submit(dict(req), timeout=300)
+        res = await asyncio.wait_for(service.submit(dict(req)), timeout=300)
+        assert len(res.wav) > 0
+
+    asyncio.run(scenario())
+    assert rebuilt == [0]

@@ -148,6 +148,111 @@ def test_normalizer_en_ordinals():
     assert n.normalize("the 100th time") == "the one hundredth time"
 
 
+# Every case from the reference's normalizer smoke block
+# (`front.py:439-490`), with golden readings hand-derived from the
+# WeTextProcessing grammars the reference compiles into its FSTs plus the
+# reference's own pinyin/name/contraction machinery (`front.py:113-228`).
+REFERENCE_CORPUS_GOLDEN = {
+    "IndexTTS 正式发布1.0版本了，效果666":
+        "IndexTTS 正式发布一点零版本了,效果六百六十六",
+    "晕XUAN4是一种GAN3觉": "晕XVAN4是一种GAN3觉",  # jqx u->v, upper; g kept
+    "我爱你！": "我爱你!",
+    "I love you!": "I love you!",
+    "“我爱你”的英语是“I love you”": "'我爱你'的英语是'I love you'",
+    "2.5平方电线": "二点五平方电线",
+    "共465篇，约315万字": "共四百六十五篇,约三百一十五万字",
+    "2002年的第一场雪，下在了2003年": "二零零二年的第一场雪,下在了二零零三年",
+    "速度是10km/h": "速度是十千米每小时",
+    "现在是北京时间2025年01月11日 20:00":
+        "现在是北京时间二零二五年一月十一日 二十点",
+    "他这条裤子是2012年买的，花了200块钱":
+        "他这条裤子是二零一二年买的,花了二百块钱",
+    "电话：135-4567-8900": "电话,幺三五四五六七八九零零",
+    "1键3连": "一键三连",
+    "这是1024元的手机，你要吗？": "这是一千零二十四元的手机,你要吗?",
+    "受不liao3你了": "受不liao3你了",          # non-jqx pinyin kept verbatim
+    "“衣裳”不读衣chang2，而是读衣shang5":
+        "'衣裳'不读衣chang2,而是读衣shang5",
+    "最zhong4要的是：不要chong2蹈覆辙": "最zhong4要的是,不要chong2蹈覆辙",
+    "不zuo1死就不会死": "不zuo1死就不会死",
+    "Couting down 3, 2, 1, go!": "Couting down three, two, one, go!",
+    "数到3就开始：1、2、3": "数到三就开始,一,二,三",
+    "This sales for 2.5% off, only $12.5.":
+        "This sales for two point five percent off, only twelve point five "
+        "dollars.",
+    "苹果于2030/1/2发布新 iPhone 2X 系列手机，最低售价仅 ¥12999":
+        "苹果于二零三零年一月二日发布新 iPhone 二X 系列手机,"
+        "最低售价仅 一万二千九百九十九元",
+    "这酒...里...有毒...": "这酒…里…有毒…",
+    "只有,,,才是最好的": "只有…才是最好的",
+    "babala2是什么？": "babala二是什么?",       # not pinyin -> plain number
+    "用beta1测试": "用beta一测试",
+    "have you ever been to beta2?": "have you ever been to beta two?",
+    "such as XTTS, CosyVoice2, Fish-Speech, and F5-TTS":
+        "such as XTTS, CosyVoice two, Fish-Speech, and F five-TTS",
+    "where's the money?": "where is the money?",
+    "who's there?": "who is there?",
+    "which's the best?": "which is the best?",
+    "how's it going?": "how is it going?",
+    "今天是个好日子 it's a good day": "今天是个好日子 it is a good day",
+    "约瑟夫·高登-莱维特（Joseph Gordon-Levitt is an American actor）":
+        "约瑟夫-高登-莱维特'Joseph Gordon-Levitt is an American actor'",
+    "钛合金骨架仅3.2g无负重感": "钛合金骨架仅三点二克无负重感",
+    "随步伐产生0.01mm振幅": "随步伐产生零点零一毫米振幅",
+}
+
+
+def test_normalizer_reference_smoke_corpus():
+    n = TextNormalizer()
+    n.load()
+    for src, expect in REFERENCE_CORPUS_GOLDEN.items():
+        got = n.normalize(src)
+        assert got == expect, f"{src!r}: {got!r} != {expect!r}"
+
+
+def test_normalizer_reference_corpus_substrings():
+    """Cases where full goldens would over-specify (AM/PM casing, long prose):
+    assert the load-bearing readings instead (`front.py:458-489`)."""
+    n = TextNormalizer()
+    n.load()
+    # 8:00 context-dependent: zh sentence -> 八点, en sentence -> o'clock
+    assert "八点" in n.normalize("8:00 AM 开会")
+    assert "eight o'clock" in n.normalize("See you at 8:00 AM")
+    # 5G/4G/2G/3G: digit read, letter G preserved (zh TN serial-number style)
+    out = n.normalize("5G网络是4G网络的升级版，2G网络是3G网络的前身")
+    assert out == "五G网络是四G网络的升级版,二G网络是三G网络的前身"
+    # 3000+ keeps the plus marker attached to a zh number reading
+    out = n.normalize("他这条视频点赞3000+，评论1000+，收藏500+")
+    assert "三千" in out and "一千" in out and "五百" in out
+    # long prose: names keep their interpuncts mapped to '-', dates read 年月日
+    out = n.normalize(
+        "《盗梦空间》由克里斯托弗·诺兰执导，约瑟夫·高登-莱维特主演，"
+        "2010年7月16日在美国上映。")
+    assert "克里斯托弗-诺兰" in out
+    assert "约瑟夫-高登-莱维特" in out
+    assert "二零一零年七月十六日" in out
+    out = n.normalize("蒂莫西·唐纳德·库克（英文名：Timothy Donald Cook），"
+                      "通称蒂姆·库克（Tim Cook）。")
+    assert "蒂莫西-唐纳德-库克" in out and "蒂姆-库克" in out
+    assert "'Tim Cook'" in out
+    # 限量款《365天插花灵感手册》 -> number read inside the quoted title
+    assert "三百六十五天" in n.normalize("限量款附赠《365天插花灵感手册》")
+
+
+def test_pinyin_pattern_reference_badcases():
+    """The reference's own pattern checks (`front.py:510-517`): valid pinyin
+    match, english-word+digit badcases must NOT match."""
+    import re
+
+    from voice_tts_tpu.text.normalizer import PINYIN_TONE_PATTERN
+
+    for good in ["xuan4", "jve2", "ying1", "zhong4", "shang5", "liao3",
+                 "gan3", "er2", "ng5"]:
+        assert re.match(PINYIN_TONE_PATTERN, good, re.IGNORECASE), good
+    for bad in ["beta1", "better1", "voice2", "bala2", "babala2", "hunger2"]:
+        assert re.match(PINYIN_TONE_PATTERN, bad, re.IGNORECASE) is None, bad
+
+
 def test_native_tn_matches_python():
     """C++ TN core == the Python reference rules over a number sweep."""
     import pytest as _pytest

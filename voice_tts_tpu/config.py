@@ -400,6 +400,10 @@ class ServerConfig:
     request_timeout_s: float = 300.0
     download_timeout_s: float = 30.0
     max_batch_size: int = 8  # batching cap per decode step / slot count
+    # replica watchdog: rebuild an engine replica after a fatal device error
+    # or this many consecutive batch failures (in-process analogue of
+    # gunicorn worker recycling, reference `gunicorn_config.py:19-22`)
+    max_consecutive_failures: int = 3
     # slot-based continuous batching (engine/continuous.py): requests join a
     # RUNNING decode batch mid-flight instead of waiting for the current
     # group to finish.  Requires engine.use_fused_decode (the batched

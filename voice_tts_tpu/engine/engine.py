@@ -480,7 +480,15 @@ class TTSEngine:
                                 prompt_len, style, rng,
                                 n_steps,
                                 cfg.engine.inference_cfg_rate, tables=tables)
-            return slice_generated(mel, prompt_len, mel_bucket), target_len
+            gen = slice_generated(mel, prompt_len, mel_bucket)
+            # zero the bucket tail: frames past target_len still hold CFM
+            # noise (the velocity is masked there), and the vocoder's first
+            # conv would smear it into the last valid frames.  Zeros match
+            # the exact-length torch run's zero conv padding at the boundary.
+            frame = jnp.arange(mel_bucket)
+            gen = jnp.where(frame[None, None, :] < target_len[:, None, None],
+                            gen, 0.0)
+            return gen, target_len
 
         @partial(jax.jit, static_argnames=("code_bucket", "mel_bucket"))
         def s2mel_chain(s2_params, rep_params, latent, codes, code_len,

@@ -318,7 +318,11 @@ class DiT(nn.Module):
         y = jnp.transpose(y, (0, 2, 1))
         x_mask = mask[:, None, :].astype(y.dtype)
         g = jnp.broadcast_to(t2[:, :, None], (b, t2.shape[-1], 1))
-        y = self.wavenet(y, x_mask, g=g)
+        # x_lens gives the WN convs exact-length reflect-boundary semantics
+        # at the dynamic valid boundary (padded-bucket parity; the entry `y`
+        # also carries garbage at padded positions from the padded-query
+        # attention rows, which reflect_fill overwrites with valid frames)
+        y = self.wavenet(y, x_mask, g=g, x_lens=x_lens)
         y = jnp.transpose(y, (0, 2, 1)) + self.res_projection(h)
         y = self.final_layer(
             y, t1, mod=tables["final"] if tables is not None else None)

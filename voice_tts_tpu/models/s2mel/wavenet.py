@@ -34,14 +34,37 @@ class ReflectConv1d(nn.Module):
                       name="conv")(x)
 
 
+def reflect_fill(x: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
+    """Emulate exact-length reflect padding inside a static buffer.
+
+    x (B, C, T) with valid prefix `lens` (B,): positions past lens-1 are
+    replaced by the mirror image around the LAST VALID frame (x[lens-2],
+    x[lens-3], ...), which is what an exact-length run's right-edge reflect
+    pad would see.  Without this, a conv at the tail of the valid region
+    reads zeros/garbage from the pad instead of the reflected values, and
+    bucketed outputs drift from exact-length outputs near the boundary.
+    """
+    t = x.shape[-1]
+    p = jnp.arange(t)[None, :]
+    idx = jnp.where(p < lens[:, None], p, 2 * lens[:, None] - 2 - p)
+    idx = jnp.clip(idx, 0, t - 1)
+    return jnp.take_along_axis(x, idx[:, None, :], axis=2)
+
+
 class WN(nn.Module):
-    """Gated dilated conv stack: x (B, C, T), mask (B, 1, T), g (B, gin, 1)."""
+    """Gated dilated conv stack: x (B, C, T), mask (B, 1, T), g (B, gin, 1).
+
+    `x_lens` (B,), when given, makes each k>1 conv see exact-length reflect
+    boundary semantics at the dynamic valid-length boundary (see
+    `reflect_fill`); required for parity when T is a padded bucket.
+    """
 
     cfg: WaveNetConfig
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, x_mask: jnp.ndarray,
-                 g: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 g: Optional[jnp.ndarray] = None,
+                 x_lens: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         c = self.cfg
         h = c.hidden_dim
         output = jnp.zeros_like(x)
@@ -49,8 +72,9 @@ class WN(nn.Module):
             g_all = ReflectConv1d(2 * h * c.num_layers, 1, name="cond_layer")(g)
         for i in range(c.num_layers):
             dilation = c.dilation_rate ** i
+            x_conv_in = reflect_fill(x, x_lens) if x_lens is not None else x
             x_in = ReflectConv1d(2 * h, c.kernel_size, dilation,
-                                 name=f"in_layer_{i}")(x)
+                                 name=f"in_layer_{i}")(x_conv_in)
             if g is not None:
                 g_l = jax.lax.dynamic_slice_in_dim(g_all, i * 2 * h, 2 * h, axis=1)
             else:

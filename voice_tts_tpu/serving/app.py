@@ -33,17 +33,33 @@ from voice_tts_tpu.serving.schemas import TTSRequest, TTSResponse
 from voice_tts_tpu.text.emotion import create_emotion_vector
 
 
+def is_fatal_engine_error(exc: BaseException) -> bool:
+    """Errors that mean the ENGINE (not the request) is wedged: device/runtime
+    failures after which a replica needs rebuilding — the in-process analogue
+    of gunicorn's worker recycling/abort hooks
+    (reference `gunicorn_config.py:19-22,63-70`)."""
+    name = type(exc).__name__
+    if name in ("XlaRuntimeError", "JaxRuntimeError", "MemoryError"):
+        return True
+    msg = str(exc)
+    return any(tag in msg for tag in (
+        "RESOURCE_EXHAUSTED", "DATA_LOSS", "INTERNAL:", "device",
+        "simulated device failure"))
+
+
 class TTSService:
     def __init__(self):
         self.server = HttpServer()
         self.engines: List = []
         self._queues: List[asyncio.Queue] = []
         self._next = 0
+        self._engine_factory = None   # rebuilds replica i after a fatal error
         self.metrics = {
             "tts_requests_total": 0, "tts_requests_failed": 0,
             "tts_inference_seconds_total": 0.0,
             "tts_audio_seconds_total": 0.0, "tts_batches_total": 0,
             "tts_batched_requests_total": 0,
+            "tts_replica_rebuilds_total": 0,
         }
         self._register_routes()
 
@@ -57,7 +73,8 @@ class TTSService:
 
         devices = jax.devices()
         n = min(workers, len(devices)) or 1
-        for i in range(n):
+
+        def factory(i: int):
             if model_dir:
                 engine = TTSEngine.from_artifacts(model_dir)
             elif tiny:
@@ -79,7 +96,11 @@ class TTSService:
                 # parameters sit on the default device and all compute
                 # serializes onto chip 0)
                 engine.to_device(devices[i])
-            self.engines.append(engine)
+            return engine
+
+        self._engine_factory = factory
+        for i in range(n):
+            self.engines.append(factory(i))
         logger.success("loaded %d engine replica(s) on %s", len(self.engines),
                        jax.default_backend())
 
@@ -129,6 +150,8 @@ class TTSService:
                 logger.warning(f"continuous batching unavailable ({e}); "
                                "falling back to grouped infer_batch")
         max_batch = getattr(scfg, "max_batch_size", 8)
+        consecutive_failures = 0
+        max_consecutive = getattr(scfg, "max_consecutive_failures", 3)
         while True:
             fut, req = await q.get()
             batch = [(fut, req)]
@@ -151,10 +174,33 @@ class TTSService:
                 for (f, _), res in zip(batch, results):
                     if not f.done():
                         f.set_result(res)
+                consecutive_failures = 0
             except Exception as e:  # noqa: BLE001
                 for f, _ in batch:
                     if not f.done():
                         f.set_exception(e)
+                consecutive_failures += 1
+                # watchdog: a fatal device/runtime error — or a replica that
+                # keeps failing whatever it is fed — gets REBUILT from the
+                # factory (fresh params, fresh caches, same device pinning):
+                # the in-process analogue of gunicorn worker recycling
+                # (reference `gunicorn_config.py:19-22,63-70`)
+                if (is_fatal_engine_error(e)
+                        or consecutive_failures >= max_consecutive):
+                    logger.warning(
+                        "replica %d wedged (%r, %d consecutive failures); "
+                        "rebuilding", idx, e, consecutive_failures)
+                    try:
+                        engine = await loop.run_in_executor(
+                            None, self._engine_factory, idx)
+                        self.engines[idx] = engine
+                        scfg = engine.cfg.server
+                        self.metrics["tts_replica_rebuilds_total"] += 1
+                        consecutive_failures = 0
+                        logger.success("replica %d rebuilt", idx)
+                    except Exception:  # noqa: BLE001
+                        logger.exception("replica %d rebuild failed; "
+                                         "keeping the old engine", idx)
 
     async def submit(self, req: dict, timeout: Optional[float] = None):
         q = self._queues[self._next % len(self._queues)]

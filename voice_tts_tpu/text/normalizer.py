@@ -214,7 +214,9 @@ def _zh_verbalize(text: str) -> str:
     # measure units (WeTextProcessing measure class, common subset)
     units = {"km": "千米", "kg": "千克", "cm": "厘米", "mm": "毫米",
              "ml": "毫升", "mg": "毫克", "m²": "平方米", "㎡": "平方米",
-             "m³": "立方米", "km/h": "千米每小时"}
+             "m³": "立方米", "km/h": "千米每小时",
+             # lowercase g only: 3.2g -> 三点二克, while 5G(网络) stays
+             "g": "克"}
     unit_pat = "|".join(sorted((re.escape(u) for u in units), key=len,
                                reverse=True))
     text = re.sub(r"(\d+(?:\.\d+)?)\s*(" + unit_pat + r")(?![a-zA-Z])",
