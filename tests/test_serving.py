@@ -217,3 +217,30 @@ def test_consecutive_failures_trigger_rebuild():
 
     asyncio.run(scenario())
     assert rebuilt == [0]
+
+
+def test_drain_waits_for_queued_work():
+    """`TTSService.drain` returns True once queues empty (the graceful
+    shutdown path) and False when the budget is exceeded."""
+    from voice_tts_tpu.serving.app import TTSService
+    from tests.test_engine import _tiny_engine
+
+    service = TTSService()
+    engine = _tiny_engine()
+    service.engines.append(engine)
+
+    sr = 22050
+    t = np.arange(int(0.4 * sr)) / sr
+    prompt = encode_wav_int16((0.4 * np.sin(2 * np.pi * 220 * t)) * 32767, sr)
+
+    async def scenario():
+        await service.start_workers()
+        fut = asyncio.ensure_future(
+            service.submit({"spk_audio_prompt": prompt, "text": "hi."}))
+        assert await service.drain(graceful_timeout=120.0)
+        res = await fut
+        assert len(res.wav) > 0
+        # an empty service drains instantly
+        assert await service.drain(graceful_timeout=0.5)
+
+    asyncio.run(scenario())

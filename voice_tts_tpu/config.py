@@ -279,7 +279,10 @@ class EngineConfig:
     # compile-time shape buckets (text tokens / mel codes / prompt frames)
     text_buckets: Tuple[int, ...] = (32, 64, 120)
     code_buckets: Tuple[int, ...] = (256, 512, 1024, 1536)
-    prompt_frame_buckets: Tuple[int, ...] = (256, 512, 1024, 1536)
+    # finer prompt steps in the README-recommended 3-10 s range (259-862
+    # frames): DiT attention cost scales with (prompt + generated)^2, so a
+    # 5 s prompt shouldn't pay a 512-frame bucket
+    prompt_frame_buckets: Tuple[int, ...] = (256, 448, 704, 1024, 1536)
     use_fp16: bool = False  # bf16 on TPU when enabled
     # int8 weight-only GPT decode (Pallas fused-dequant GEMV); halves the
     # per-token weight HBM traffic that dominates AR decode
@@ -399,6 +402,8 @@ class ServerConfig:
     log_level: str = "info"
     request_timeout_s: float = 300.0
     download_timeout_s: float = 30.0
+    # drain budget on SIGTERM/SIGINT (reference `gunicorn_config.py:21`)
+    graceful_timeout_s: float = 30.0
     max_batch_size: int = 8  # batching cap per decode step / slot count
     # replica watchdog: rebuild an engine replica after a fatal device error
     # or this many consecutive batch failures (in-process analogue of

@@ -211,6 +211,19 @@ class TTSService:
             return await asyncio.wait_for(fut, timeout)
         return await fut
 
+    async def drain(self, graceful_timeout: float = 30.0) -> bool:
+        """Wait for queued work to finish (the reference's
+        `graceful_timeout=30`, `gunicorn_config.py:21`).  Returns True if
+        everything drained in time."""
+        deadline = asyncio.get_running_loop().time() + graceful_timeout
+        while any(q.qsize() for q in self._queues):
+            if asyncio.get_running_loop().time() >= deadline:
+                return False
+            await asyncio.sleep(0.05)
+        # one gather-window so in-flight batches finish dispatching
+        await asyncio.sleep(0.1)
+        return True
+
     # ------------------------------------------------------------------
     def _register_routes(self):
         s = self.server
@@ -348,12 +361,38 @@ class TTSService:
 
 
 async def amain(args):
+    import signal
+
     service = TTSService()
     service.load_engines(args.model_dir, args.workers, tiny=args.tiny,
                          continuous=args.continuous_batching)
     await service.start_workers()
     logger.info("serving on %s:%d", args.host, args.port)
-    await service.server.serve(args.host, args.port)
+
+    # graceful shutdown: SIGTERM/SIGINT stop the accept loop, queued work
+    # drains up to graceful_timeout (the reference's worker_int/
+    # graceful_timeout hooks, `gunicorn_config.py:21,63-66`)
+    stop = asyncio.Event()
+    loop = asyncio.get_running_loop()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            loop.add_signal_handler(sig, stop.set)
+        except NotImplementedError:  # platforms without signal support
+            pass
+
+    serve_task = asyncio.create_task(service.server.serve(args.host, args.port))
+    stop_task = asyncio.create_task(stop.wait())
+    done, _ = await asyncio.wait({serve_task, stop_task},
+                                 return_when=asyncio.FIRST_COMPLETED)
+    if stop_task in done:
+        logger.info("shutdown signal received; draining request queues")
+        drained = await service.drain(
+            getattr(service.engines[0].cfg.server, "graceful_timeout_s", 30.0)
+            if service.engines else 30.0)
+        logger.info("drained" if drained else "graceful timeout hit")
+        serve_task.cancel()
+    else:
+        await serve_task
 
 
 def main():
