@@ -592,7 +592,11 @@ def _attend_batch(layer, pos_ref, heads, d, bt, q_in, k_cur, v_cur, bias_ref,
     max_pos = pos_ref[0]
     for i in range(1, b):
         max_pos = jnp.maximum(max_pos, pos_ref[i])
-    pos_col = jnp.stack([pos_ref[i] for i in range(b)])[:, None, None]
+    # per-row live length as a (B, BT, H) operand built from SMEM scalars via
+    # 2D fulls: Mosaic cannot lower a (B,) -> (B,1,1) vector shape cast
+    # ("infer-vector-layout: unsupported shape cast" on real libtpu)
+    pos_col = jnp.stack([jnp.full((bt, heads), pos_ref[i], dtype=jnp.int32)
+                         for i in range(b)])
     n_blocks = pl.cdiv(max_pos, bt)
 
     def dma_k(j, slot):
