@@ -67,14 +67,19 @@ def build_engine(tiny: bool):
     cfg.engine.use_int8_decode = os.environ.get("INT8_DECODE", "1") == "1"
     # single-Pallas-call trunk megakernel for the batch-1 AR loop
     cfg.engine.use_fused_decode = os.environ.get("FUSED_DECODE", "1") == "1"
-    # int4 (g128) megakernel tiles — default OFF: RTN int4 is a quality
-    # trade that needs validation on real checkpoints (A/B: INT4_DECODE=1)
-    cfg.engine.use_int4_decode = os.environ.get("INT4_DECODE", "0") == "1"
-    # int4 dequant scheme A/B (INT4_EXPAND=1: whole-tile MXU dequant)
+    # int4 (g128) megakernel tiles — bench default ON (r2 A/B winner:
+    # RTF 0.0697 vs 0.0715 int8 at merge=3 -> 0.0652 combined); the ENGINE
+    # default stays off because RTN int4 is a quality trade that needs
+    # validation on real checkpoints (A/B off: INT4_DECODE=0)
+    cfg.engine.use_int4_decode = os.environ.get("INT4_DECODE", "1") == "1"
+    # int4 dequant scheme A/B (INT4_EXPAND=1: whole-tile MXU dequant;
+    # measured LOSS at bench shape: 0.0843)
     cfg.engine.int4_expand = os.environ.get("INT4_EXPAND", "0") == "1"
-    # megakernel grid A/B (MERGE_STAGES=3 or 6 weight tiles per grid step)
-    ms = os.environ.get("MERGE_STAGES", "0")
-    cfg.engine.merge_decode_stages = 3 if ms == "1" else int(ms)
+    # megakernel grid A/B (MERGE_STAGES=3 or 6 weight tiles per grid step);
+    # unset -> keep the engine-wide default (3, the measured winner)
+    ms = os.environ.get("MERGE_STAGES")
+    if ms is not None:
+        cfg.engine.merge_decode_stages = 3 if ms == "1" else int(ms)
     # int8 KV cache in the megakernel (per-position scales)
     cfg.engine.use_int8_kv = os.environ.get("INT8_KV", "0") == "1"
     # batched decode-step megakernel for continuous-batch serving
@@ -98,6 +103,8 @@ def build_engine(tiny: bool):
     # the 3 resblocks (exact math; A/B via SHARED_ACT_VOC=0/1)
     cfg.engine.use_shared_act_vocoder = (
         os.environ.get("SHARED_ACT_VOC", "0") == "1")
+    # fused resblock-stage Pallas kernels for the late vocoder stages
+    cfg.engine.use_fused_vocoder = os.environ.get("FUSED_VOC", "0") == "1"
     return TTSEngine.random(cfg, seed=0)
 
 

@@ -304,8 +304,9 @@ class EngineConfig:
     # tile/step; 3 or 6 = grid (L, 12/N)): identical numerics, N x less
     # fixed per-grid-step overhead (~0.2 us/tile measured).  Costs a larger
     # double-buffered VMEM block (int8 D=1280 N=3: ~9.8 MB of ~16 MB/core;
-    # N=6 only fits the nibble-packed int4 tiles)
-    merge_decode_stages: int = 0
+    # N=6 only fits the nibble-packed int4 tiles).  Default 3: measured
+    # RTF 0.0730 -> 0.0715 at bench shape with identical numerics (r2 A/B)
+    merge_decode_stages: int = 3
     # int8 KV cache inside the megakernel (per-position scales, dequant in
     # VMEM): halves the prefix DMA, which grows with context while weight
     # traffic stays flat.  Standard production KV8 — far milder than int4
