@@ -73,8 +73,12 @@ def build_engine(tiny: bool):
     # validation on real checkpoints (A/B off: INT4_DECODE=0)
     cfg.engine.use_int4_decode = os.environ.get("INT4_DECODE", "1") == "1"
     # int4 dequant scheme A/B (INT4_EXPAND=1: whole-tile MXU dequant;
-    # measured LOSS at bench shape: 0.0843)
+    # measured LOSS at bench shape: 0.0843.  INT4_SCHEME=i8sh: int8-lane
+    # shift unpack, identical numerics to the default mask unpack)
     cfg.engine.int4_expand = os.environ.get("INT4_EXPAND", "0") == "1"
+    sch = os.environ.get("INT4_SCHEME")
+    if sch:
+        cfg.engine.int4_expand = {"group": False, "expand": True}.get(sch, sch)
     # megakernel grid A/B (MERGE_STAGES=3 or 6 weight tiles per grid step);
     # unset -> keep the engine-wide default (3, the measured winner)
     ms = os.environ.get("MERGE_STAGES")

@@ -179,7 +179,7 @@ def test_merged_stages_match_unmerged_int4(setup):
     step = jnp.asarray(1)
     emb = model.apply(qparams, tok, step - 1,
                       method=UnifiedVoice.embed_decode_token)
-    for expand, tpg in ((False, 3), (True, 3), (False, 6)):
+    for expand, tpg in ((False, 3), (True, 3), (False, 6), ("i8sh", 3)):
         hid1, kv1 = fused_decode_step(emb, p4, cache_tm, bias, p + step,
                                       CFG.heads, interpret=True,
                                       int4_expand=expand)
@@ -229,7 +229,7 @@ def test_int4_pack_roundtrip(setup):
                    np.float32).reshape(3, -1)[1], rtol=1e-6)
 
 
-@pytest.mark.parametrize("expand", [False, True])
+@pytest.mark.parametrize("expand", [False, True, "i8sh"])
 def test_int4_step_matches_dequantized_xla(setup, expand):
     """The int4 megakernel step == the XLA decode path running the EXACT
     dequantized int4 weights (isolates kernel math from quantization error:
@@ -286,8 +286,9 @@ def test_int4_step_matches_dequantized_xla(setup, expand):
     l4 = np.asarray(logits_4, np.float32)
     tol = 0.02 * np.abs(lr).max()
     assert np.abs(lr - l4).max() < tol
-    if not expand:
-        # per-group scheme scales after the dot: argmax matches exactly
+    if expand is not True:
+        # per-group schemes (mask or i8sh unpack) scale after the dot:
+        # argmax matches exactly
         assert int(lr.argmax()) == int(l4.argmax())
     elif int(lr.argmax()) != int(l4.argmax()):
         # expand rounds lo*scale to bf16, so reference logits within tol

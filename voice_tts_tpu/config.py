@@ -295,11 +295,13 @@ class EngineConfig:
     # unpack cost). RTN int4 is a real quality trade — validate on real
     # checkpoints before enabling in production; prefill/latent stay int8
     use_int4_decode: bool = False
-    # int4 dequant scheme inside the megakernel: False = per-group K=128
-    # sub-dots scaled on the output; True = whole-tile dequant via an
-    # MXU-expanded (D/2, D) scale matrix + two dense K=D/2 dots (fewer,
-    # larger MXU passes; identical quantization).  A/B per hardware
-    int4_expand: bool = False
+    # int4 dequant scheme inside the megakernel: False = i32-mask unpack +
+    # per-group K=128 sub-dots scaled on the output; True = whole-tile
+    # dequant via an MXU-expanded (D/2, D) scale matrix + two dense K=D/2
+    # dots (fewer, larger MXU passes); "i8sh" = int8-lane shift unpack
+    # (same values as False, the sign extension stays in the 8-bit lanes)
+    # + the same sub-dots.  Identical quantization either way; A/B per hw
+    int4_expand: bool | str = False
     # run the decode megakernel with N weight tiles per grid step (0 = one
     # tile/step; 3 or 6 = grid (L, 12/N)): identical numerics, N x less
     # fixed per-grid-step overhead (~0.2 us/tile measured).  Costs a larger

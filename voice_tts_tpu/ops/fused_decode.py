@@ -226,18 +226,36 @@ def _dot_one_tile(src, w_tile, scale_row, bias_row, gs_rows,
     int8: one bf16 dot; `scale_row`/`bias_row` are (1, D) rows of c_ref.
     int4: `w_tile` is (D/2, D) nibble-packed (low nibble = contraction rows
     [0, D/2), high = [D/2, D)); `gs_rows` is the (G, D) group-scale block.
-    Two dequant schemes (see `fused_decode_step(int4_expand=...)`).
+    Three dequant schemes via `int4_expand`: False = i32-mask unpack +
+    per-group sub-dots; True = MXU-expanded whole-tile dequant; "i8sh" =
+    int8-lane shift unpack (identical nibble values to False — the sign
+    extension happens inside the 8-bit lanes) + the same per-group sub-dots.
     """
     d = w_tile.shape[-1]
     if not int4_groups:
         y = jnp.dot(src.astype(jnp.bfloat16), w_tile.astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32)
         return y * scale_row + bias_row
-    wb = w_tile.astype(jnp.int32)                      # (D/2, D) packed
     half = d // 2
     per_half = int4_groups // 2
     gsize = half // per_half
     xb = src.astype(jnp.bfloat16)
+    if int4_expand == "i8sh":
+        four = jnp.int8(4)
+        lo = jnp.right_shift(jnp.left_shift(w_tile, four),
+                             four).astype(jnp.bfloat16)
+        hi = jnp.right_shift(w_tile, four).astype(jnp.bfloat16)
+        y = jnp.zeros((src.shape[0], d), jnp.float32)
+        for g in range(per_half):
+            sl = slice(g * gsize, (g + 1) * gsize)
+            y += (jnp.dot(xb[:, g * gsize:(g + 1) * gsize], lo[sl],
+                          preferred_element_type=jnp.float32)
+                  * gs_rows[g:g + 1])
+            y += (jnp.dot(xb[:, half + g * gsize:half + (g + 1) * gsize],
+                          hi[sl], preferred_element_type=jnp.float32)
+                  * gs_rows[per_half + g:per_half + g + 1])
+        return y + bias_row
+    wb = w_tile.astype(jnp.int32)                      # (D/2, D) packed
     if int4_expand:
         # dequantize the whole tile: expand the (G, D) group scales to
         # (D/2, D) rows via an MXU dot with a constant 0/1 expansion
