@@ -78,6 +78,9 @@ def build_engine(tiny: bool):
     cfg.engine.int4_expand = os.environ.get("INT4_EXPAND", "0") == "1"
     sch = os.environ.get("INT4_SCHEME")
     if sch:
+        if sch not in ("group", "expand", "i8sh"):
+            raise ValueError(f"INT4_SCHEME must be group/expand/i8sh, "
+                             f"got {sch!r}")
         cfg.engine.int4_expand = {"group": False, "expand": True}.get(sch, sch)
     # megakernel grid A/B (MERGE_STAGES=3 or 6 weight tiles per grid step);
     # unset -> keep the engine-wide default (3, the measured winner)

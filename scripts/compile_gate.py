@@ -1,0 +1,255 @@
+"""On-chip compile gate: lower + compile EVERY Pallas kernel entry point at
+real serving shapes, and record pass/fail into COMPILE_GATE.json.
+
+Round-2 lesson (VERDICT item 2): two kernels shipped that pass their
+interpret-mode tests but do not lower on real libtpu (the batched decode
+megakernel at serving batch sizes, and the int4 "i8sh" dequant scheme).
+Interpret mode cannot catch Mosaic lowering failures, so this gate compiles
+each variant with `jax.jit(...).lower(...).compile()` against the REAL
+backend using abstract ShapeDtypeStruct args (no device memory needed, no
+execution — just the XLA + Mosaic compile).
+
+Run on the TPU host:
+
+    python scripts/compile_gate.py            # writes COMPILE_GATE.json
+    python scripts/compile_gate.py --only b8  # substring filter
+
+The gate is green iff every case reports ok=true.  CI-adjacent: run it after
+touching anything under voice_tts_tpu/ops/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+S = jax.ShapeDtypeStruct
+
+# flagship dims (config.py GPTConfig / DiTConfig / BigVGANConfig defaults)
+D, L, H = 1280, 24, 20
+HD = D // H
+DIT_D, DIT_L, DIT_H = 512, 13, 8
+T_MAX = 512          # bench/serving cache length (BLOCK_T-rounded)
+T_LONG = 1792        # long-form cache length (max_mel_tokens=1536)
+
+
+def gpt_pack_int8():
+    from voice_tts_tpu.ops.fused_decode import FusedDecodePack
+    return FusedDecodePack(w=S((L, 12, D, D), jnp.int8),
+                           consts=S((L, 28, D), jnp.float32))
+
+
+def gpt_pack_int4():
+    from voice_tts_tpu.ops.fused_decode import FusedDecodePackInt4
+    return FusedDecodePackInt4(w=S((L, 12, D // 2, D), jnp.int8),
+                               consts=S((L, 28, D), jnp.float32),
+                               gscales=S((L, 12, D // 128, D), jnp.float32))
+
+
+def b1_case(pack, t_max=T_MAX, int8_kv=False, int4_expand=False,
+            merge_stages=3, cache_dtype=jnp.bfloat16):
+    from voice_tts_tpu.ops import fused_decode as fd
+    cache = S((L, 2, 1, t_max, D), jnp.int8 if int8_kv else cache_dtype)
+    kv_scales = S((L, t_max, 2), jnp.float32) if int8_kv else None
+    return fd.fused_decode_step.lower(
+        S((1, D), jnp.float32), pack, cache, S((t_max, 1), jnp.float32),
+        S((), jnp.int32), H, kv_scales=kv_scales, int4_expand=int4_expand,
+        merge_stages=merge_stages)
+
+
+def batch_case(pack, b, t_max=T_MAX, int8_kv=False, int4_expand=False,
+               merge_stages=3, per_row_pos=False, beam_src=False,
+               cache_dtype=jnp.bfloat16):
+    from voice_tts_tpu.ops import fused_decode as fd
+    cache = S((L, 2, b, t_max, D), jnp.int8 if int8_kv else cache_dtype)
+    kv_scales = S((L, b, t_max, 2), jnp.float32) if int8_kv else None
+    pos = S((b,), jnp.int32) if per_row_pos else S((), jnp.int32)
+    src = S((b, t_max), jnp.int32) if beam_src else None
+    return fd.fused_decode_step_batch.lower(
+        S((b, D), jnp.float32), pack, cache, S((b, t_max), jnp.float32),
+        pos, H, kv_scales=kv_scales, int4_expand=int4_expand,
+        merge_stages=merge_stages, beam_src=src)
+
+
+def decode_attention_case():
+    from voice_tts_tpu.ops.decode_attention import decode_attention
+    fn = jax.jit(lambda q, k, v, bias, ln: decode_attention(q, k, v, bias, ln))
+    return fn.lower(S((1, H, HD), jnp.float32),
+                    S((1, H, HD, T_MAX), jnp.float32),
+                    S((1, H, HD, T_MAX), jnp.float32),
+                    S((1, T_MAX), jnp.float32), S((), jnp.int32))
+
+
+def aa_snake_case(c, t):
+    from voice_tts_tpu.ops.aa_activation import aa_snake_activation
+    fn = jax.jit(lambda x, a, b: aa_snake_activation(x, a, b, use_pallas=True))
+    return fn.lower(S((1, c, t), jnp.float32), S((c,), jnp.float32),
+                    S((c,), jnp.float32))
+
+
+def cfm_attention_case():
+    from voice_tts_tpu.ops.cfm_attention import cfm_attention
+    fn = jax.jit(lambda q, k, v, lens: cfm_attention(q, k, v, lens, HD ** -0.5))
+    a = S((2, DIT_H, 704, DIT_D // DIT_H), jnp.float32)
+    return fn.lower(a, a, a, S((2,), jnp.int32))
+
+
+def dit_chain_case():
+    from voice_tts_tpu.ops.dit_blocks import dit_block_chain
+    hd = DIT_D // DIT_H
+    fn = jax.jit(lambda x, w, wb, c, s, p, ln: dit_block_chain(
+        x, w, wb, c, s, p, ln, DIT_H))
+    return fn.lower(S((2, 704, DIT_D), jnp.float32),
+                    S((DIT_L, 5, 3, DIT_D, DIT_D), jnp.bfloat16),
+                    S((DIT_L, 2, 2 * DIT_D), jnp.float32),
+                    S((704, hd), jnp.float32), S((704, hd), jnp.float32),
+                    S((hd, hd), jnp.float32), S((2,), jnp.int32))
+
+
+def fused_vocoder_case(c, t, k_max=11):
+    from voice_tts_tpu.ops.fused_vocoder import StagePack, fused_resblock_stage
+    pack = StagePack(w=S((18, k_max, c, c), jnp.float32),
+                     b=S((18, c, 1), jnp.float32),
+                     alpha=S((18, c, 1), jnp.float32),
+                     brec=S((18, c, 1), jnp.float32))
+    fn = jax.jit(lambda x, p: fused_resblock_stage(
+        x, p, dilations=(1, 3, 5), k_max=k_max))
+    return fn.lower(S((1, c, t), jnp.float32), pack)
+
+
+def int8_gemv_case():
+    from voice_tts_tpu.ops.int8_matmul import int8_gemv
+    fn = jax.jit(lambda x, w, s: int8_gemv(x, w, s))
+    return fn.lower(S((1, D), jnp.bfloat16), S((D, 4 * D), jnp.int8),
+                    S((1, 4 * D), jnp.float32))
+
+
+def cases():
+    i8, i4 = gpt_pack_int8(), gpt_pack_int4()
+    out = {
+        # --- batch-1 megakernel (bench hot path) ---
+        "b1_int8_m1": lambda: b1_case(i8, merge_stages=False),
+        "b1_int8_m3": lambda: b1_case(i8),
+        "b1_int8_kv8_m3": lambda: b1_case(i8, int8_kv=True),
+        "b1_int8_kv8_long": lambda: b1_case(i8, t_max=T_LONG, int8_kv=True),
+        "b1_int4_m3": lambda: b1_case(i4),
+        "b1_int4_m6": lambda: b1_case(i4, merge_stages=6),
+        "b1_int4_expand_m3": lambda: b1_case(i4, int4_expand=True),
+        "b1_int4_i8sh_m3": lambda: b1_case(i4, int4_expand="i8sh"),
+        "b1_int4_i8sh_m6": lambda: b1_case(i4, int4_expand="i8sh",
+                                           merge_stages=6),
+        "b1_int4_kv8_m3": lambda: b1_case(i4, int8_kv=True),
+        # --- batched megakernel (continuous serving + beams) ---
+        "b2_int8_m3": lambda: batch_case(i8, 2),
+        "b3_int8_m3_beam": lambda: batch_case(i8, 3),
+        "b3_int4_m3_beam": lambda: batch_case(i4, 3),
+        "b3_int8_src_beam": lambda: batch_case(i8, 3, beam_src=True),
+        "b3_int8_kv8_src_beam": lambda: batch_case(i8, 3, int8_kv=True,
+                                                   beam_src=True),
+        "b3_int4_src_beam_long": lambda: batch_case(i4, 3, t_max=T_LONG,
+                                                    beam_src=True),
+        "b4_int8_m3": lambda: batch_case(i8, 4),
+        "b8_int8_m3": lambda: batch_case(i8, 8),
+        "b8_int8_m1": lambda: batch_case(i8, 8, merge_stages=False),
+        "b8_int8_kv8_m3": lambda: batch_case(i8, 8, int8_kv=True),
+        "b8_int4_m3": lambda: batch_case(i4, 8),
+        "b8_int4_kv8_m3": lambda: batch_case(i4, 8, int8_kv=True),
+        "b8_int8_rows_m3": lambda: batch_case(i8, 8, per_row_pos=True),
+        "b8_int8_kv8_rows_m3": lambda: batch_case(i8, 8, int8_kv=True,
+                                                  per_row_pos=True),
+        "b8_int8_kv8_long": lambda: batch_case(i8, 8, t_max=T_LONG,
+                                               int8_kv=True),
+        # --- the rest of the kernel zoo ---
+        "decode_attention": decode_attention_case,
+        "aa_snake_c768": lambda: aa_snake_case(768, 1792),
+        "aa_snake_c24": lambda: aa_snake_case(24, 114688),
+        "cfm_attention": cfm_attention_case,
+        "dit_block_chain": dit_chain_case,
+        "fused_vocoder_c192": lambda: fused_vocoder_case(192, 14336),
+        "fused_vocoder_c96": lambda: fused_vocoder_case(96, 28672),
+        "int8_gemv": int8_gemv_case,
+    }
+    return out
+
+
+def run_one(name: str) -> int:
+    """Child mode: compile one case in this process (parent applies the
+    timeout — a Mosaic compile cannot be interrupted in-process, and a
+    pathological case must not wedge the whole gate)."""
+    try:
+        cases()[name]().compile()
+        return 0
+    except Exception as e:  # noqa: BLE001 — report via a parseable line
+        print(f"GATE_ERROR {type(e).__name__}: {e}"[:600].replace("\n", " "))
+        traceback.print_exc(limit=3)
+        return 1
+
+
+def main():
+    import subprocess
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None, help="substring filter")
+    ap.add_argument("--out", default="COMPILE_GATE.json")
+    ap.add_argument("--case", default=None, help="(internal) child mode")
+    ap.add_argument("--timeout", type=float, default=420.0,
+                    help="per-case compile budget, seconds")
+    args = ap.parse_args()
+
+    if args.case:
+        return run_one(args.case)
+
+    backend = jax.default_backend()
+    results = {"backend": backend, "jax": jax.__version__,
+               "timeout_s": args.timeout, "cases": {}}
+    if backend not in ("tpu", "axon"):
+        print(f"compile gate needs the TPU backend, got {backend!r}")
+        results["skipped"] = True
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+        return 1
+
+    n_fail = 0
+    for name in cases():
+        if args.only and args.only not in name:
+            continue
+        t0 = time.time()
+        err = None
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--case", name],
+                capture_output=True, text=True, timeout=args.timeout)
+            ok = proc.returncode == 0
+            if not ok:
+                for line in proc.stdout.splitlines():
+                    if line.startswith("GATE_ERROR"):
+                        err = line[len("GATE_ERROR "):]
+                err = err or (proc.stderr.strip().splitlines() or ["?"])[-1]
+        except subprocess.TimeoutExpired:
+            ok, err = False, f"compile exceeded {args.timeout:.0f}s budget"
+        if not ok:
+            n_fail += 1
+        dt = time.time() - t0
+        results["cases"][name] = {"ok": ok, "secs": round(dt, 1),
+                                  **({"error": err[:500]} if err else {})}
+        print(f"{'PASS' if ok else 'FAIL'} {name} ({dt:.1f}s)"
+              + (f" — {err[:160]}" if err else ""), flush=True)
+
+    results["n_fail"] = n_fail
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"compile gate: {n_fail} failures -> {args.out}")
+    return 0 if n_fail == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

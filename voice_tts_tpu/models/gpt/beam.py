@@ -51,6 +51,8 @@ class _BeamState(NamedTuple):
     tokens: jnp.ndarray        # (K, max_new) generated so far (reordered)
     beam_scores: jnp.ndarray   # (K,)
     cache: jnp.ndarray
+    src: jnp.ndarray           # (K, Tmax) i32 ancestor table (fused path;
+    #                            (K, 1) dummy on the XLA physical-reorder path)
     presence: jnp.ndarray      # (K, V)
     last_tokens: jnp.ndarray   # (K,) fed into the next step
     pool_scores: jnp.ndarray   # (K,)
@@ -106,7 +108,9 @@ def beam_decode(params, model: UnifiedVoice, gen: GenerationConfig,
     k = gen.num_beams
     b, bl = text_tokens.shape
     assert b == 1, "beam decode drives one request (use beams for diversity)"
-    use_fused = (fused_pack is not None and k <= 8
+    # K <= 4 keeps the KV block length 128-aligned (`batch_block_t`), which
+    # the ancestor-table lane reads require; wider beams take the XLA path
+    use_fused = (fused_pack is not None and k <= 4
                  and not cfg.pallas_decode_attention)
     int8_kv = int8_kv and use_fused
     p = cfg.condition_num_latent + 2 + bl + 2
@@ -223,18 +227,36 @@ def beam_decode(params, model: UnifiedVoice, gen: GenerationConfig,
             tokens, next_tokens[:, None].astype(jnp.int32), (0, state.step))
         presence = state.presence[next_beams]
         presence = presence.at[jnp.arange(k), next_tokens].set(True)
-        if int8_kv:
+        if use_fused:
+            # no physical cache reorder: the megakernel reads each row's
+            # history through the (K, Tmax) ancestor table (see
+            # `_attend_batch`).  The position just written (p + step) is
+            # each row's own; then the whole table inherits the chosen
+            # parent's history — two O(K*Tmax) i32 ops instead of moving
+            # the full padded KV cache through HBM twice per token
+            cache = state.cache
+            src = jax.lax.dynamic_update_slice(
+                state.src, jnp.arange(k, dtype=jnp.int32)[:, None],
+                (0, p + state.step))
+            src = src[next_beams]
+        elif int8_kv:
             cache = (jnp.take(state.cache[0], next_beams, axis=2),
                      jnp.take(state.cache[1], next_beams, axis=1))
+            src = state.src
         else:
             cache = jnp.take(state.cache, next_beams, axis=2)
-        return _BeamState(state.step + 1, tokens, next_scores, cache,
+            src = state.src
+        return _BeamState(state.step + 1, tokens, next_scores, cache, src,
                           presence, next_tokens.astype(jnp.int32),
                           pool_scores, pool_seqs, pool_lens, done, rng)
 
+    # ancestor table: prefill wrote identical copies into every row, so each
+    # row starts pointing at its own copy (fused path; dummy column on XLA)
+    src0 = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[:, None],
+                            (k, t_max if use_fused else 1))
     state0 = _BeamState(
         step=jnp.asarray(0), tokens=jnp.zeros((k, max_new), jnp.int32),
-        beam_scores=beam_scores0, cache=cache, presence=presence0,
+        beam_scores=beam_scores0, cache=cache, src=src0, presence=presence0,
         last_tokens=jnp.zeros((k,), jnp.int32),
         pool_scores=jnp.full((k,), 2 * NEG, jnp.float32),
         pool_seqs=jnp.full((k, max_new), eos, jnp.int32),
@@ -253,7 +275,7 @@ def beam_decode(params, model: UnifiedVoice, gen: GenerationConfig,
             hidden, kv_new = fused_decode_step_batch(
                 emb, fused_pack, kv_c, attn_bias, p + s.step, cfg.heads,
                 interpret=interp, kv_scales=kv_s, int4_expand=int4_expand,
-                merge_stages=merge_stages)
+                merge_stages=merge_stages, beam_src=s.src)
             if int8_kv:
                 cache = apply_kv_update_q_batch(kv_c, kv_s, kv_new,
                                                 p + s.step)

@@ -241,10 +241,22 @@ def _dot_one_tile(src, w_tile, scale_row, bias_row, gs_rows,
     gsize = half // per_half
     xb = src.astype(jnp.bfloat16)
     if int4_expand == "i8sh":
-        four = jnp.int8(4)
-        lo = jnp.right_shift(jnp.left_shift(w_tile, four),
-                             four).astype(jnp.bfloat16)
-        hi = jnp.right_shift(w_tile, four).astype(jnp.bfloat16)
+        # 8-bit-lane unpack with NO int8 arithmetic beyond two bitwise ANDs:
+        # Mosaic legalizes neither arith.shli/subi on i8 vectors nor
+        # arith.cmpf on bf16 ("failed to legalize operation", COMPILE_GATE
+        # round-3), so the sign-extension is compare-free bf16 math after
+        # the lane-width convert — every value is a small integer, so it
+        # is exact:
+        #   lo_u = w & 15,  bit3 = w & 8       (the only i8 ops)
+        #   lo   = lo_u - 2*bit3               (sign-extend: -16 iff bit3=8)
+        #   w - lo_u = 16*hi exactly (range [-128, 112]), so
+        #   hi   = (w - lo_u) * 2^-4           (power-of-two scale: exact)
+        # vs the default "group" scheme this never widens the (D/2, D)
+        # tile to i32 (4x the registers) — bf16 is the widest it gets.
+        lo_u = (w_tile & jnp.int8(15)).astype(jnp.bfloat16)
+        bit3 = (w_tile & jnp.int8(8)).astype(jnp.bfloat16)
+        lo = lo_u - (bit3 + bit3)
+        hi = (w_tile.astype(jnp.bfloat16) - lo_u) * jnp.bfloat16(0.0625)
         y = jnp.zeros((src.shape[0], d), jnp.float32)
         for g in range(per_half):
             sl = slice(g * gsize, (g + 1) * gsize)
@@ -500,6 +512,9 @@ def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
     int4_groups = d // group_size(d) if int4 else 0
     w_rows = d // 2 if int4 else d
     # weight tiles per grid step (True == 3 for backward compat)
+    if int4_expand not in (False, True, "i8sh"):
+        raise ValueError(f"int4_expand must be False, True, or 'i8sh', "
+                         f"got {int4_expand!r}")
     tpg = (3 if merge_stages is True else int(merge_stages)) or 1
     if tpg not in (1, 3, 6):
         raise ValueError(
@@ -591,31 +606,56 @@ def batch_block_t(b: int) -> int:
     return bt
 
 
-def _attend_batch(layer, pos_ref, heads, d, bt, q_in, k_cur, v_cur, bias_ref,
-                  hmask_ref, hmask_t_ref, cache_ref, kscale_ref, kbuf, vbuf,
-                  sem_k, sem_v, int8_kv):
+def _attend_batch(layer, scal_ref, heads, d, bt, q_in, k_cur, v_cur,
+                  hmask_ref, hmask_t_ref, cache_ref, kscale_ref, src_ref,
+                  kbuf, vbuf, sem_k, sem_v, int8_kv):
     """Batched online-softmax attention over each row's [0, pos_b) cache
     prefix plus its current-token k/v (in VMEM).  One strided DMA per block
     moves the (B, BT, D) slab for all rows at once (B contiguous BT*D
     chunks), covering ceil(max_b pos_b / BT) blocks; rows past their own
-    pos_b are masked, and per-row prompt padding rides in `bias_ref`
-    (B, Tmax).  pos_ref is the (B,) scalar-prefetch of live prefix lengths
-    (continuous batching steps rows at different positions).  Returns the
+    pos_b are masked.  scal_ref is the (3, B) scalar-prefetch: row 0 live
+    prefix lengths (continuous batching steps rows at different positions),
+    rows 1-2 the per-row invalid prompt-padding interval [lo_b, hi_b) —
+    interval scalars instead of an additive (B, Tmax) bias because the bias
+    window read `bias_ref[:, pl.ds(j*bt, bt)]` is a LANE-dim dynamic slice,
+    which Mosaic rejects unless the offset is a provable multiple of 128
+    (bt = 64 at B >= 5: "cannot statically prove that index in dimension 1
+    is a multiple of 128" — every round-2 serving A/B died there).
+
+    src_ref (B, Tmax) i32 VMEM, beam decode only (else None): the ancestor
+    table — position t of row b's hypothesis lives in cache row
+    src_ref[b, t].  Beam search never physically reorders the cache (the HF
+    `_reorder_cache` gather moves the WHOLE padded cache through HBM twice
+    per token — measured 3.7x the greedy step cost at serving shapes);
+    instead the slab already holds all B rows, and each row selects its
+    ancestor's k/v in-register.  Requires bt % 128 == 0 (lane-dim window
+    reads of the table), which batch_block_t guarantees for B <= 4 — beam
+    widths above 4 fall back to the physical-reorder path.  Returns the
     (B, D) context."""
     b = q_in.shape[0]
     hd = d // heads
     hmask = hmask_ref[...]        # (D, H) 0/1: lane -> head grouping
     hmask_t = hmask_t_ref[...]    # (H, D)
     q = q_in * (hd ** -0.5)       # (B, D) f32
-    max_pos = pos_ref[0]
+    max_pos = scal_ref[0, 0]
     for i in range(1, b):
-        max_pos = jnp.maximum(max_pos, pos_ref[i])
-    # per-row live length as a (B, BT, H) operand built from SMEM scalars via
+        max_pos = jnp.maximum(max_pos, scal_ref[0, i])
+    # per-row scalars as (B, BT, H) operands built from SMEM values via
     # 2D fulls: Mosaic cannot lower a (B,) -> (B,1,1) vector shape cast
     # ("infer-vector-layout: unsupported shape cast" on real libtpu)
-    pos_col = jnp.stack([jnp.full((bt, heads), pos_ref[i], dtype=jnp.int32)
-                         for i in range(b)])
+    def col(r):
+        return jnp.stack([jnp.full((bt, heads), scal_ref[r, i],
+                                   dtype=jnp.int32) for i in range(b)])
+    pos_col, lo_col, hi_col = col(0), col(1), col(2)
     n_blocks = pl.cdiv(max_pos, bt)
+
+    def ancestor(slab, t0):
+        """(B, BT, D) dequantized slab -> each row's ancestor view."""
+        srcw = src_ref[:, pl.ds(t0, bt)]              # (B, BT) i32
+        out = jnp.zeros_like(slab)
+        for b2 in range(b):
+            out = jnp.where((srcw == b2)[:, :, None], slab[b2][None], out)
+        return out
 
     def dma_k(j, slot):
         return pltpu.make_async_copy(
@@ -647,12 +687,16 @@ def _attend_batch(layer, pos_ref, heads, d, bt, q_in, k_cur, v_cur, bias_ref,
         t0 = j * bt
         k = kbuf[slot].astype(jnp.float32)            # (B, BT, D)
         if int8_kv:
+            # dequantize with each SOURCE row's scale before any ancestor
+            # selection, so selected values carry the right scale
             k = k * kscale_ref[0, :, pl.ds(t0, bt), 0:1]
+        if src_ref is not None:
+            k = ancestor(k, t0)
         scores = head_sum((q[:, None, :] * k).reshape(b * bt, d))
         scores = scores.reshape(b, bt, heads)
-        scores = scores + bias_ref[:, pl.ds(t0, bt)][..., None]
         row = jax.lax.broadcasted_iota(jnp.int32, (b, bt, heads), 1) + t0
-        scores = jnp.where(row < pos_col, scores, -jnp.inf)
+        keep = (row < pos_col) & ((row < lo_col) | (row >= hi_col))
+        scores = jnp.where(keep, scores, -jnp.inf)
 
         m_new = jnp.maximum(m, jnp.max(scores, axis=1))
         # safe max: a row whose whole prefix precedes this block span keeps
@@ -667,6 +711,8 @@ def _attend_batch(layer, pos_ref, heads, d, bt, q_in, k_cur, v_cur, bias_ref,
         v = vbuf[slot].astype(jnp.float32)            # (B, BT, D)
         if int8_kv:
             v = v * kscale_ref[0, :, pl.ds(t0, bt), 1:2]
+        if src_ref is not None:
+            v = ancestor(v, t0)
         pb = head_bcast(p.reshape(b * bt, heads)).reshape(b, bt, d)
         pv = jnp.sum(pb * v, axis=1)                  # (B, D)
         acc_new = acc * head_bcast(alpha) + pv
@@ -687,17 +733,19 @@ def _attend_batch(layer, pos_ref, heads, d, bt, q_in, k_cur, v_cur, bias_ref,
     return ctx / head_bcast(l_f)                      # (B, D)
 
 
-def _kernel_batch(pos_ref, x_ref, w_ref, c_ref, *rest, heads, int4_groups,
-                  int4_expand, int8_kv, tpg, block_t):
+def _kernel_batch(scal_ref, x_ref, w_ref, c_ref, *rest, heads, int4_groups,
+                  int4_expand, int8_kv, has_src, tpg, block_t):
     """Batched variant of `_kernel_merged`: (B, D) activations, grid
     (L, 12/tpg).  Weight tiles stream exactly as in the batch-1 kernel (the
     DMA amortizes over the batch); the residual/ln/qkv/mlp scratch carries a
-    B-row block; attention is `_attend_batch`."""
+    B-row block; attention is `_attend_batch`.  scal_ref (3, B) packs
+    [pos; invalid_lo; invalid_hi] per row (see `_attend_batch`)."""
     rest = list(rest)
     gs_ref = rest.pop(0) if int4_groups else None
-    bias_ref, hmask_ref, hmask_t_ref, cache_ref = rest[:4]
-    rest = rest[4:]
+    hmask_ref, hmask_t_ref, cache_ref = rest[:3]
+    rest = rest[3:]
     kscale_ref = rest.pop(0) if int8_kv else None
+    src_ref = rest.pop(0) if has_src else None
     (y_ref, kv_ref, x_s, ln_s, q_s, k_s, v_s, h_s, acc_s, kbuf, vbuf,
      sem_k, sem_v) = rest
     layer = pl.program_id(0)
@@ -735,10 +783,10 @@ def _kernel_batch(pos_ref, x_ref, w_ref, c_ref, *rest, heads, int4_groups,
             v_s[...] = v
             kv_ref[0, 1] = v.astype(kv_ref.dtype)
         elif t == 3:
-            ctx = _attend_batch(layer, pos_ref, heads, d, block_t, q_s[...],
-                                k_s[...], v_s[...], bias_ref, hmask_ref,
-                                hmask_t_ref, cache_ref, kscale_ref, kbuf,
-                                vbuf, sem_k, sem_v, int8_kv)
+            ctx = _attend_batch(layer, scal_ref, heads, d, block_t, q_s[...],
+                                k_s[...], v_s[...], hmask_ref,
+                                hmask_t_ref, cache_ref, kscale_ref, src_ref,
+                                kbuf, vbuf, sem_k, sem_v, int8_kv)
             x_s[...] = x_s[...] + dot(ctx, 3)
             ln_s[...] = _ln(x_s[...], c_ref[0, 26:27], c_ref[0, 27:28])
         elif t in (4, 5, 6, 7):
@@ -772,16 +820,22 @@ def fused_decode_step_batch(x: jnp.ndarray, pack: FusedDecodePack,
                             interpret: bool = False,
                             kv_scales: jnp.ndarray = None,
                             int4_expand: bool = False,
-                            merge_stages: bool | int = False):
+                            merge_stages: bool | int = False,
+                            beam_src: jnp.ndarray = None):
     """Batched (2 <= B <= 8) trunk megakernel step for continuous-batch
     serving.  x (B, D) token embeddings; kv_cache TIME-MAJOR
     (L, 2, B, Tmax, D); bias (B, Tmax) f32 additive mask (per-row prompt
-    padding); pos scalar (whole-batch decode: the engine buckets text
-    lengths so rows share the position, `models/gpt/decode.py`) or (B,)
-    per-row live prefix lengths (continuous batching: slots admitted at
-    different times decode at their own positions; a pos of 0 marks an idle
-    slot, which computes garbage but stays NaN-free and masked by the
-    caller).
+    padding) — its masked set (entries < -1e29) MUST be one contiguous run
+    per row (the `build_prompt` text-pad tail; asserted structurally by all
+    callers), because the kernel receives it as per-row [lo, hi) interval
+    scalars rather than a tensor (a lane-dim dynamic slice of a (B, Tmax)
+    block needs 128-aligned offsets, which bt=64 at B >= 5 violates — the
+    round-2 Mosaic compile failure); pos scalar (whole-batch decode: the
+    engine buckets text lengths so rows share the position,
+    `models/gpt/decode.py`) or (B,) per-row live prefix lengths (continuous
+    batching: slots admitted at different times decode at their own
+    positions; a pos of 0 marks an idle slot, which computes garbage but
+    stays NaN-free and masked by the caller).
 
     Returns (hidden (B, D) f32 pre-ln_f, kv_new (L, 2, B, D)); write with
     `apply_kv_update_batch` (shared pos) / `apply_kv_update_rows` (per-row),
@@ -803,6 +857,11 @@ def fused_decode_step_batch(x: jnp.ndarray, pack: FusedDecodePack,
     assert bias.shape == (b, t_max)
     assert not int8_kv or (kv_cache.dtype == jnp.int8
                            and kv_scales.shape == (l, b, t_max, 2))
+    has_src = beam_src is not None
+    if has_src:
+        assert beam_src.shape == (b, t_max)
+        assert bt % 128 == 0, (
+            "beam ancestor table needs 128-aligned KV blocks (B <= 4)")
 
     hmask = (jnp.arange(d)[:, None] // (d // heads)
              == jnp.arange(heads)[None, :]).astype(jnp.float32)
@@ -810,6 +869,9 @@ def fused_decode_step_batch(x: jnp.ndarray, pack: FusedDecodePack,
     int4 = isinstance(pack, FusedDecodePackInt4)
     int4_groups = d // group_size(d) if int4 else 0
     w_rows = d // 2 if int4 else d
+    if int4_expand not in (False, True, "i8sh"):
+        raise ValueError(f"int4_expand must be False, True, or 'i8sh', "
+                         f"got {int4_expand!r}")
     tpg = (3 if merge_stages is True else int(merge_stages)) or 1
     if tpg not in (1, 3, 6):
         raise ValueError(
@@ -829,8 +891,6 @@ def fused_decode_step_batch(x: jnp.ndarray, pack: FusedDecodePack,
                          lambda i, t, s: (i, t, 0, 0),
                          memory_space=pltpu.VMEM))
     in_specs += [
-        pl.BlockSpec((b, t_max), lambda i, t, s: (0, 0),
-                     memory_space=pltpu.VMEM),
         pl.BlockSpec((d, heads), lambda i, t, s: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((heads, d), lambda i, t, s: (0, 0),
@@ -841,6 +901,10 @@ def fused_decode_step_batch(x: jnp.ndarray, pack: FusedDecodePack,
         in_specs.append(
             pl.BlockSpec((1, b, t_max, 2), lambda i, t, s: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM))    # per-layer kv scales
+    if has_src:
+        in_specs.append(
+            pl.BlockSpec((b, t_max), lambda i, t, s: (0, 0),
+                         memory_space=pltpu.VMEM))    # beam ancestor table
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -868,15 +932,23 @@ def fused_decode_step_batch(x: jnp.ndarray, pack: FusedDecodePack,
     )
     kernel = functools.partial(
         _kernel_batch, heads=heads, int4_groups=int4_groups,
-        int4_expand=int4_expand, int8_kv=int8_kv, tpg=tpg, block_t=bt)
+        int4_expand=int4_expand, int8_kv=int8_kv, has_src=has_src,
+        tpg=tpg, block_t=bt)
     pos_vec = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (b,))
-    args = [pos_vec, x.astype(jnp.float32),
+    # bias -> per-row contiguous invalid interval [lo, hi) (see docstring)
+    invalid = bias < -1e29
+    inv_lo = jnp.argmax(invalid, axis=1).astype(jnp.int32)  # 0 if none
+    inv_hi = inv_lo + jnp.sum(invalid, axis=1).astype(jnp.int32)
+    scal = jnp.stack([pos_vec, inv_lo, inv_hi])           # (3, B) SMEM
+    args = [scal, x.astype(jnp.float32),
             pack.w, pack.consts]
     if int4:
         args.append(pack.gscales)
-    args += [bias, hmask, jnp.transpose(hmask), kv_cache]
+    args += [hmask, jnp.transpose(hmask), kv_cache]
     if int8_kv:
         args.append(kv_scales)
+    if has_src:
+        args.append(beam_src.astype(jnp.int32))
     kv_new_dtype = jnp.float32 if int8_kv else kv_cache.dtype
     y, kv_new = pl.pallas_call(
         kernel,
@@ -885,6 +957,13 @@ def fused_decode_step_batch(x: jnp.ndarray, pack: FusedDecodePack,
             jax.ShapeDtypeStruct((b, d), jnp.float32),
             jax.ShapeDtypeStruct((l, 2, b, d), kv_new_dtype),
         ],
+        # the double-buffered weight block (tpg int8 tiles, ~9.8 MB at
+        # merge=3/D=1280) + the (2, B, BT, D) k/v slabs (~5.2 MB bf16)
+        # overflow the 16 MiB default scoped budget by ~0.5 MB at B in
+        # {2, 4, 8} (COMPILE_GATE round-3: "scoped allocation 16.5M");
+        # v5e VMEM (128 MiB) has ample headroom
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     return y, kv_new
