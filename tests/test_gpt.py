@@ -43,7 +43,7 @@ def _build_reference(cfg: GPTConfig):
         number_mel_codes=cfg.number_mel_codes,
         start_mel_token=cfg.start_mel_token, stop_mel_token=cfg.stop_mel_token,
         condition_num_latent=cfg.condition_num_latent,
-        condition_type="conformer_perceiver",
+        condition_type=cfg.condition_type,
         condition_module={
             "output_size": cm.output_size, "linear_units": cm.linear_units,
             "attention_heads": cm.attention_heads, "num_blocks": cm.num_blocks,
@@ -122,6 +122,42 @@ def test_conditioning_parity_subsampling_variants(variant):
             torch.from_numpy(spk).transpose(1, 2), torch.tensor([t])).numpy()
     ours = np.asarray(model.apply(
         params, jnp.asarray(spk), jnp.asarray([t], dtype=jnp.int32),
+        method=UnifiedVoice.get_conditioning))
+    assert ours.shape == ref_cond.shape
+    np.testing.assert_allclose(ours, ref_cond, atol=2e-4, rtol=1e-3)
+
+
+@needs_ref
+def test_conditioning_parity_perceiver_branch():
+    """The reference ctor-DEFAULT branch `condition_type="perceiver"`
+    (`model_v2.py:310,349-350`): Conv1d + 6 AttentionBlocks +
+    PerceiverResampler at resampler defaults.  Converted weights,
+    get_conditioning parity vs the actual reference module."""
+    import dataclasses
+
+    import torch
+    install_reference_gpt()
+    cfg = dataclasses.replace(TINY, condition_type="perceiver")
+    ref = _build_reference(cfg)
+    with torch.no_grad():
+        # the reference zero-inits proj_out (`arch_util.py:109`), which would
+        # reduce every AttentionBlock to identity and make this test vacuous;
+        # randomize so the attention path actually contributes
+        for blk in ref.conditioning_encoder.attn:
+            blk.proj_out.weight.normal_(0, 0.05)
+            blk.proj_out.bias.normal_(0, 0.05)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_unified_voice(sd)
+    model = UnifiedVoice(cfg)
+
+    rng = np.random.default_rng(5)
+    t = 21
+    spk = rng.normal(size=(1, t, 1024)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        ref_cond = ref.get_conditioning(
+            torch.from_numpy(spk).transpose(1, 2)).numpy()
+    ours = np.asarray(model.apply(
+        params, jnp.asarray(spk),
         method=UnifiedVoice.get_conditioning))
     assert ours.shape == ref_cond.shape
     np.testing.assert_allclose(ours, ref_cond, atol=2e-4, rtol=1e-3)

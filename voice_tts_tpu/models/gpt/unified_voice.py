@@ -22,6 +22,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from voice_tts_tpu.config import GPTConfig
+from voice_tts_tpu.models.gpt.cond_encoder import AttentionConditioningEncoder
 from voice_tts_tpu.models.gpt.conformer import ConformerEncoder
 from voice_tts_tpu.models.gpt.gpt2 import GPT2Stack
 from voice_tts_tpu.models.gpt.perceiver import PerceiverResampler
@@ -34,11 +35,31 @@ class UnifiedVoice(nn.Module):
     def setup(self):
         c = self.cfg
         cm, em = c.condition_module, c.emo_condition_module
-        self.conditioning_encoder = ConformerEncoder(cm)
-        self.perceiver_encoder = PerceiverResampler(
-            dim=c.model_dim, dim_context=cm.output_size,
-            num_latents=c.condition_num_latent, heads=cm.attention_heads,
-            ff_mult=cm.perceiver_mult)
+        if c.condition_type == "conformer_perceiver":
+            self.conditioning_encoder = ConformerEncoder(cm)
+            self.perceiver_encoder = PerceiverResampler(
+                dim=c.model_dim, dim_context=cm.output_size,
+                num_latents=c.condition_num_latent, heads=cm.attention_heads,
+                ff_mult=cm.perceiver_mult)
+        elif c.condition_type == "perceiver":
+            # the reference ctor DEFAULT (`model_v2.py:310,349-350`):
+            # Conv1d + 6 AttentionBlocks, then a PerceiverResampler at its
+            # own defaults (heads=8, ff_mult=4 — NOT the condition_module's)
+            self.conditioning_encoder = AttentionConditioningEncoder(
+                dim=c.model_dim, num_heads=c.heads)
+            self.perceiver_encoder = PerceiverResampler(
+                dim=c.model_dim, dim_context=c.model_dim,
+                num_latents=c.condition_num_latent)
+        else:
+            # `gst` / `conformer_encoder` crash inside the reference itself
+            # (gst_encoder never constructed, `model_v2.py:530` vs `:349-366`;
+            # ConformerEncoder called with the wrong arity, `:533-541`), so
+            # no checkpoint can exist for them — see cond_encoder.py
+            raise ValueError(
+                f"condition_type {c.condition_type!r} is not supported: the "
+                f"reference's own get_conditioning raises on this branch "
+                f"(model_v2.py:514-543); use 'conformer_perceiver' or "
+                f"'perceiver'")
         self.emo_conditioning_encoder = ConformerEncoder(em)
         self.emo_perceiver_encoder = PerceiverResampler(
             dim=c.emo_dim, dim_context=em.output_size, num_latents=1,
@@ -66,6 +87,10 @@ class UnifiedVoice(nn.Module):
     def get_conditioning(self, spk_cond: jnp.ndarray,
                          lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """spk_cond (B, T, 1024) w2v-bert features -> (B, 32, model_dim)."""
+        if self.cfg.condition_type == "perceiver":
+            # reference `model_v2.py:515-519`: no length mask on this branch
+            h = self.conditioning_encoder(spk_cond)
+            return self.perceiver_encoder(h)
         h, mask = self.conditioning_encoder(spk_cond, lengths)
         conds_mask = jnp.concatenate(
             [jnp.ones((h.shape[0], self.cfg.condition_num_latent), dtype=bool),

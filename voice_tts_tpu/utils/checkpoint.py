@@ -303,6 +303,12 @@ def unified_voice_renamer() -> Renamer:
     r.rule(r"^gpt\.h\.\d+\.attn\.(bias|masked_bias)$", None)  # mask buffers
     r.rule(r"^(cond_mask_pad|emo_cond_mask_pad)\..*", None)
     _add_conformer_rules(r, "conditioning_encoder", "conditioning_encoder")
+    # condition_type="perceiver" branch (ctor default, `model_v2.py:349-350`):
+    # Conv1d stem + AttentionBlocks instead of the conformer
+    r.rule(r"^conditioning_encoder\.init\.(weight|bias)$",
+           r"conditioning_encoder/init/\1")
+    r.rule(r"^conditioning_encoder\.attn\.(\d+)\.(norm|qkv|proj_out)\.(weight|bias)$",
+           r"conditioning_encoder/attn_\1/\2/\3")
     _add_perceiver_rules(r, "perceiver_encoder", "perceiver_encoder")
     _add_conformer_rules(r, "emo_conditioning_encoder", "emo_conditioning_encoder")
     _add_perceiver_rules(r, "emo_perceiver_encoder", "emo_perceiver_encoder")
