@@ -289,3 +289,29 @@ def test_native_tn_matches_python():
         assert native_en == py_en, (n, native_en, py_en)
 
     assert native_tn.zh_read_digits("13800") == "一三八零零"
+
+
+def test_tn_corpus_zh():
+    """210-case golden corpus (tests/data/tn_corpus_zh.tsv) covering the
+    WeTextProcessing category list the reference relies on
+    (`front.py:100-111`): dates (年/月/日 variants), times + ranges, scores,
+    phones/landlines/IDs/plates, fractions, percent/permille, currency
+    variants (¥/$/€/£ + separators + 万/亿), measure words, numeric ranges,
+    math, IPs/versions, negatives, 万/亿 suffixes."""
+    import os
+
+    from voice_tts_tpu.text.normalizer import TextNormalizer
+
+    n = TextNormalizer()
+    n.load()
+    path = os.path.join(os.path.dirname(__file__), "data", "tn_corpus_zh.tsv")
+    cases = 0
+    for line in open(path, encoding="utf-8"):
+        line = line.rstrip("\n")
+        if not line or line.startswith("#"):
+            continue
+        inp, exp = line.split("\t")
+        got = n.normalize(inp)
+        assert got == exp, f"{inp!r}: got {got!r}, want {exp!r}"
+        cases += 1
+    assert cases >= 200, cases

@@ -5,10 +5,17 @@ The reference delegates Chinese/English TN to compiled OpenFst grammars
 CPython bindings are unavailable here, so this module implements the
 normalization rules natively: punctuation canonicalization (the reference's
 `char_rep_map`), pinyin-tone and person-name preservation (same regex
-machinery as `front.py:62-76,191-228`), plus rule-based verbalization of
-numbers, dates, times, percentages and currency for zh, and number spelling
-for en.  The rule surface is a strict subset of WeTextProcessing but covers
-the README examples.
+machinery as `front.py:62-76,191-228`), plus rule-based verbalization across
+the WeTextProcessing category list: numbers (incl. 万/亿 suffixes, thousands
+separators, negatives), dates (年/月/日//-/. variants, decades, cohorts),
+times (+ ranges), scores, phones/landlines/ID numbers/license plates,
+fractions, percent/permille, currency (¥ $ € £ ₩ + 万/亿 amounts), measure
+words (km..kcal, areas/volumes/rates), temperatures (℃/°F/°), numeric
+ranges, arithmetic, IPs/dotted versions; and number spelling for en.
+Coverage is validated by the 210-case golden corpus
+(`tests/data/tn_corpus_zh.tsv`) plus the reference smoke corpus
+(`front.py:439-490`) — still narrower than the 2 MB compiled FST grammar on
+long-tail idioms, but no longer a smoke-test subset.
 """
 
 from __future__ import annotations
@@ -149,22 +156,51 @@ def en_read_number(token: str) -> str:
 # zh rules
 # ---------------------------------------------------------------------------
 
+class _Groups:
+    """Adapter presenting (g1, g2, g3) as a match-like .group(i) — lets the
+    time-range rule reuse `time_hm` for the second endpoint's groups 4-6."""
+
+    def __init__(self, *groups):
+        self._g = groups
+
+    def group(self, i):
+        return self._g[i - 1]
+
+
 def _zh_verbalize(text: str) -> str:
-    # dates: 2025年01月11日 / 2025/1/2
+    # dates: 2025年01月11日 / 2025/1/2 / 2025-01-11 / 2025.1.11 / 1月11日
     def date_ymd(m):
         y, mo, d = m.group(1), int(m.group(2)), int(m.group(3))
         return (zh_read_digits(y) + "年" + zh_read_integer(mo) + "月"
                 + zh_read_integer(d) + "日")
 
     text = re.sub(r"(\d{4})年(\d{1,2})月(\d{1,2})[日号]", date_ymd, text)
-    text = re.sub(r"(\d{4})/(\d{1,2})/(\d{1,2})", lambda m: date_ymd(m), text)
+    text = re.sub(r"(\d{4})[/.-](\d{1,2})[/.-](\d{1,2})(?!\d)",
+                  lambda m: date_ymd(m), text)
     text = re.sub(r"(\d{4})[-~](\d{4})年",
                   lambda m: zh_read_digits(m.group(1)) + "到"
                   + zh_read_digits(m.group(2)) + "年", text)
     text = re.sub(r"(\d{4})年",
                   lambda m: zh_read_digits(m.group(1)) + "年", text)
+    # month-day without a year (WeTextProcessing date class)
+    text = re.sub(r"(?<![\d.])(\d{1,2})月(\d{1,2})([日号])",
+                  lambda m: zh_read_integer(int(m.group(1))) + "月"
+                  + zh_read_integer(int(m.group(2))) + m.group(3), text)
+    # decades / cohorts: 80年代 -> 八零年代, 90后 -> 九零后
+    text = re.sub(r"(?<!\d)(\d0)(年代|后)(?!\d)",
+                  lambda m: zh_read_digits(m.group(1)) + m.group(2), text)
 
-    # times: 20:00 / 8:30
+    # IP addresses / multi-dot versions BEFORE times and plain numbers:
+    # 192.168.1.1 -> digit-wise with 点 (WeTextProcessing digit class)
+    def dotted(m):
+        parts = m.group(0).split(".")
+        return "点".join(zh_read_digits(p) for p in parts)
+
+    text = re.sub(r"(?<![\d.])\d{1,3}(?:\.\d{1,3}){3}(?![\d.])", dotted, text)
+    text = re.sub(r"(?<![\d.])\d+(?:\.\d+){2,}(?![\d.])", dotted, text)
+
+    # times: 20:00 / 8:30 / 8:30:15 (minutes must be a valid 00-59 pair;
+    # other colon pairs read as scores below)
     def time_hm(m):
         h, mi = int(m.group(1)), int(m.group(2))
         out = zh_read_integer(h) + "点"
@@ -174,14 +210,32 @@ def _zh_verbalize(text: str) -> str:
             out += zh_read_integer(int(m.group(3))) + "秒"
         return out
 
-    text = re.sub(r"(\d{1,2}):(\d{2})(?::(\d{2}))?", time_hm, text)
+    time_pat = r"([01]?\d|2[0-3]):([0-5]\d)(?::([0-5]\d))?"
+    # time ranges first so the dash reads 到: 8:00-9:30
+    text = re.sub(r"(?<![\d:])" + time_pat + r"[-~]" + time_pat + r"(?![\d:])",
+                  lambda m: time_hm(m) + "到" + time_hm(
+                      _Groups(m.group(4), m.group(5), m.group(6))), text)
+    text = re.sub(r"(?<![\d:])" + time_pat + r"(?![\d:])", time_hm, text)
+
+    # scores: 2:1 / 3:0 (a colon pair that is not a valid clock time)
+    text = re.sub(r"(?<![\d:])(\d{1,3}):(\d{1,3})(?![\d:])",
+                  lambda m: zh_read_integer(int(m.group(1))) + "比"
+                  + zh_read_integer(int(m.group(2))), text)
 
     # phone-like digit runs with separators: 135-4567-8900 (1 reads 幺)
     def phone(m):
         return zh_read_digits(re.sub(r"\D", "", m.group(0))).replace("一", "幺")
 
     text = re.sub(r"\d{3,4}-\d{3,4}-\d{3,4}", phone, text)
+    text = re.sub(r"(?<![\d-])0\d{2,3}-\d{7,8}(?![\d-])", phone, text)  # landline
     text = re.sub(r"(?<!\d)1[3-9]\d{9}(?!\d)", phone, text)  # bare mobile no.
+    # 18-digit ID numbers (optional trailing X): digit-wise, 1 reads 幺
+    text = re.sub(r"(?<!\d)(\d{17})([0-9Xx])(?![\dXx])",
+                  lambda m: phone(m) + ("X" if m.group(2) in "Xx" else ""),
+                  text)
+    # any very long bare digit run (>= 10): digit-wise like the reference FST
+    text = re.sub(r"(?<!\d)\d{10,}(?!\d)",
+                  lambda m: zh_read_digits(m.group(0)), text)
 
     # fractions: 3/4 -> 四分之三
     text = re.sub(r"(?<![\d/])(\d{1,4})/(\d{1,4})(?![\d/])",
@@ -213,25 +267,57 @@ def _zh_verbalize(text: str) -> str:
 
     # measure units (WeTextProcessing measure class, common subset)
     units = {"km": "千米", "kg": "千克", "cm": "厘米", "mm": "毫米",
-             "ml": "毫升", "mg": "毫克", "m²": "平方米", "㎡": "平方米",
-             "m³": "立方米", "km/h": "千米每小时",
+             "ml": "毫升", "mL": "毫升", "mg": "毫克", "m²": "平方米",
+             "㎡": "平方米", "m³": "立方米", "km²": "平方千米",
+             "cm²": "平方厘米", "km/h": "千米每小时", "m/s": "米每秒",
+             "GHz": "吉赫兹", "MHz": "兆赫兹", "kHz": "千赫兹", "Hz": "赫兹",
+             "TB": "太字节", "GB": "吉字节", "MB": "兆字节", "KB": "千字节",
+             "kW": "千瓦", "kWh": "千瓦时", "kg/m³": "千克每立方米",
+             "μm": "微米", "µm": "微米", "nm": "纳米", "kV": "千伏",
+             "mV": "毫伏", "mA": "毫安", "kcal": "千卡", "kJ": "千焦",
+             "°F": "华氏度", "℉": "华氏度", "°": "度",
+             "L": "升", "t": "吨", "W": "瓦", "V": "伏", "A": "安",
              # lowercase g only: 3.2g -> 三点二克, while 5G(网络) stays
-             "g": "克"}
+             "g": "克", "m": "米", "s": "秒"}
     unit_pat = "|".join(sorted((re.escape(u) for u in units), key=len,
                                reverse=True))
-    text = re.sub(r"(\d+(?:\.\d+)?)\s*(" + unit_pat + r")(?![a-zA-Z])",
+    text = re.sub(r"(\d+(?:\.\d+)?)\s*(" + unit_pat + r")(?![a-zA-Z²³])",
                   lambda m: zh_read_number(m.group(1)) + units[m.group(2)],
                   text)
 
-    # percent / currency
-    text = re.sub(r"(\d+(?:\.\d+)?)%",
+    # percent / permille / currency
+    text = re.sub(r"(-?\d+(?:\.\d+)?)%",
                   lambda m: "百分之" + zh_read_number(m.group(1)), text)
-    text = re.sub(r"[¥￥](\d+(?:\.\d+)?)",
-                  lambda m: zh_read_number(m.group(1)) + "元", text)
-    text = re.sub(r"\$(\d+(?:\.\d+)?)",
-                  lambda m: zh_read_number(m.group(1)) + "美元", text)
+    text = re.sub(r"(-?\d+(?:\.\d+)?)‰",
+                  lambda m: "千分之" + zh_read_number(m.group(1)), text)
+    cur = {"¥": "元", "￥": "元", "$": "美元", "€": "欧元", "£": "英镑",
+           "₩": "韩元", "HK$": "港元"}
+    cur_pat = "|".join(re.escape(c) for c in
+                       sorted(cur, key=len, reverse=True))
+    # currency amounts accept thousands separators and 万/亿 suffixes:
+    # ¥1,234.56 -> 一千二百三十四点五六元; $3万 -> 三万美元
+    text = re.sub("(" + cur_pat + r")(\d[\d,]*(?:\.\d+)?)([万亿]*)",
+                  lambda m: zh_read_number(m.group(2)) + m.group(3)
+                  + cur[m.group(1)], text)
 
-    # plain numbers
+    # arithmetic between numbers: 3+2=5 -> 三加二等于五 (math class)
+    ops = {"+": "加", "×": "乘以", "*": "乘以", "÷": "除以", "=": "等于"}
+    for _ in range(4):  # chains like 1+2+3=6
+        text = re.sub(r"(\d(?:[\d.,]*\d)?)\s*([+×*÷=])\s*(-?\d)",
+                      lambda m: m.group(1) + ops[m.group(2)] + m.group(3),
+                      text)
+
+    # license plates (WeTextProcessing plate class): 京A88888 digit-wise
+    text = re.sub(r"([一-鿿][A-Z])(\d{5,6})(?!\d)",
+                  lambda m: m.group(1) + zh_read_digits(m.group(2)), text)
+
+    # negative numbers (after ranges/phones consumed their hyphens)
+    text = re.sub(r"(?<![\d\w-])-(\d+(?:\.\d+)?)",
+                  lambda m: "负" + zh_read_number(m.group(1)), text)
+
+    # plain numbers (thousands separators included: 12,345 -> 一万二千三百四十五)
+    text = re.sub(r"\d{1,3}(?:,\d{3})+(?:\.\d+)?",
+                  lambda m: zh_read_number(m.group(0)), text)
     text = re.sub(r"\d+(?:\.\d+)?", lambda m: zh_read_number(m.group(0)), text)
     return text
 
