@@ -25,3 +25,27 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_compilation_cache", False)
 assert jax.default_backend() == "cpu"
 assert jax.device_count() == 8
+
+
+# ---------------------------------------------------------------------------
+# test tiers: modules dominated by interpret-mode Pallas sweeps or 8-device
+# mesh simulation are auto-marked `slow` (deselected by default via addopts;
+# run with `pytest tests/ -m slow`).  Per-test opt-outs: a test in a slow
+# module can stay in the CI tier via @pytest.mark.ci_tier.
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+_SLOW_MODULES = {
+    "test_parallel",          # 8-device mesh sims, dp x tp training steps
+    "test_fused_decode",      # interpret-mode megakernel sweeps
+    "test_continuous",        # interpret-mode continuous batching
+    "test_pipeline_parity",   # chained decode->s2mel->vocoder parity
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if (item.module.__name__ in _SLOW_MODULES
+                and "ci_tier" not in item.keywords):
+            item.add_marker(pytest.mark.slow)

@@ -23,18 +23,49 @@ import numpy as np
 # loading + generic transforms
 # ---------------------------------------------------------------------------
 
-def load_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Load a .pt/.pth/.bin (torch pickle) or .safetensors file into numpy."""
+def load_state_dict(path: str, load_ema: bool = False) -> Dict[str, np.ndarray]:
+    """Load a .pt/.pth/.bin (torch pickle) or .safetensors file into numpy.
+
+    Handles every wrapper shape the reference loaders accept: flat state
+    dicts, single-key wrappers (generator/model/state_dict/net), and the
+    s2mel trainer's MODULE-KEYED nesting `state["net"][module][param]`
+    (`commons.py:568-589`), which flattens to the `models.<module>.<param>`
+    names the renamer rules expect.  `load_ema=True` substitutes the EMA
+    shadow weights the same way `load_checkpoint2(load_ema=True)` does
+    (`commons.py:579-587`): `state["ema"][module][0]` is a POSITIONAL tensor
+    list aligned with the module's param order, skipping `input_pos`.
+    """
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
         return dict(load_file(path))
     import torch
     obj = torch.load(path, map_location="cpu", weights_only=False)
+    ema = None
     if isinstance(obj, dict):
+        if load_ema and isinstance(obj.get("ema"), dict):
+            ema = obj["ema"]
         for key in ("generator", "model", "state_dict", "net"):
             if key in obj and isinstance(obj[key], dict):
                 obj = obj[key]
                 break
+    if (isinstance(obj, dict) and obj
+            and all(isinstance(v, dict) for v in obj.values())):
+        # module-keyed nesting (the real s2mel checkpoint format)
+        if ema is not None:
+            obj = {mk: dict(sub) for mk, sub in obj.items()}
+            for mk, sub in obj.items():
+                if mk not in ema:
+                    continue
+                shadow = ema[mk][0]
+                i = 0
+                for pk in sub:
+                    if "input_pos" in pk:
+                        continue
+                    assert sub[pk].shape == shadow[i].shape, (mk, pk)
+                    sub[pk] = shadow[i]
+                    i += 1
+        obj = {f"models.{mk}.{pk}": pv
+               for mk, sub in obj.items() for pk, pv in sub.items()}
     return {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
             for k, v in obj.items()}
 
