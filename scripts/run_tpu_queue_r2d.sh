@@ -8,10 +8,14 @@ set -u
 cd /root/repo
 
 echo "[queue2d] waiting for queue2c to finish..."; date
+deadline=$((SECONDS + 10800))   # don't spin forever if queue2c died
 while ! grep -q "\[queue2c\] all done" /tmp/tpu_queue_r2c.log 2>/dev/null; do
+    if [ $SECONDS -ge $deadline ]; then
+        echo "[queue2d] TIMEOUT waiting for queue2c; proceeding anyway"; break
+    fi
     sleep 60
 done
-echo "[queue2d] queue2c done"; date
+echo "[queue2d] queue2c done (or timed out)"; date
 
 run() {  # run <label> <cmd...>
     local label="$1"; shift
