@@ -262,7 +262,16 @@ def pack_fused_stages(params: Dict[str, Any],
 
 
 def _tt_for_channels(c: int) -> int:
-    # bound VMEM: double-buffered input + ~8 live intermediates of (C, W)
+    # bound VMEM: double-buffered input + ~8 live intermediates of (C, W).
+    # Overridable (FUSED_VOC_TT): Mosaic compile time grows superlinearly in
+    # the chunk width (the ~2k lane-roll ops lower to per-lane shuffles over
+    # the whole window) — the 2048/4096 defaults exceeded a 420 s compile
+    # budget at C in {96, 192} (COMPILE_GATE r3), narrower chunks trade a
+    # few % runtime for a compile that finishes
+    import os
+    env = os.environ.get("FUSED_VOC_TT")
+    if env:
+        return int(env)
     return 2048 if c > 96 else 4096
 
 
