@@ -650,11 +650,14 @@ def _attend_batch(layer, scal_ref, heads, d, bt, q_in, k_cur, v_cur,
     n_blocks = pl.cdiv(max_pos, bt)
 
     def ancestor(slab, t0):
-        """(B, BT, D) dequantized slab -> each row's ancestor view."""
+        """(B, BT, D) dequantized slab -> each row's ancestor view.
+        f32 one-hot multiply-add, not a boolean select: Mosaic cannot
+        reshape i1 vectors ((B, BT) -> (B, BT, 1) fails to legalize)."""
         srcw = src_ref[:, pl.ds(t0, bt)]              # (B, BT) i32
         out = jnp.zeros_like(slab)
         for b2 in range(b):
-            out = jnp.where((srcw == b2)[:, :, None], slab[b2][None], out)
+            m = jnp.where(srcw == b2, 1.0, 0.0)       # (B, BT) f32
+            out = out + m[:, :, None] * slab[b2][None]
         return out
 
     def dma_k(j, slot):
