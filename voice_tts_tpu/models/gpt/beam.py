@@ -178,25 +178,32 @@ def beam_decode(params, model: UnifiedVoice, gen: GenerationConfig,
         is_eos = cand_tokens == eos
         ranks = jnp.arange(2 * k)
 
-        # --- hypothesis pool: eos candidates with rank < K
-        pool_scores, pool_seqs, pool_lens = (state.pool_scores,
-                                             state.pool_seqs, state.pool_lens)
+        # --- hypothesis pool: eos candidates with rank < K.  ONE top-k over
+        # the union [pool | admissible candidates] replaces the sequential
+        # 2K-iteration argmin/insert loop (the loop semantics — replace the
+        # worst pooled entry whenever a new hypothesis beats it — select
+        # exactly the K best of the union, and candidate scores within a
+        # step are distinct from ties' perspective the same way HF's
+        # sequential adds resolve them).  ~35 fewer tiny XLA ops per decode
+        # step, which the beam step's launch overhead is dominated by.
         gen_len = state.step  # tokens generated before this step's token
-        for c in range(2 * k):
-            add = is_eos[c] & (ranks[c] < k) & ~state.done
-            hyp_score = _length_penalize(cand_scores[c], gen_len + 1,
-                                         gen.length_penalty)
-            worst = jnp.argmin(pool_scores)
-            better = hyp_score > pool_scores[worst]
-            do_add = add & better
-            seq_c = state.tokens[cand_beams[c]]
-            pool_scores = jnp.where(do_add,
-                                    pool_scores.at[worst].set(hyp_score),
-                                    pool_scores)
-            pool_seqs = jnp.where(do_add,
-                                  pool_seqs.at[worst].set(seq_c), pool_seqs)
-            pool_lens = jnp.where(do_add,
-                                  pool_lens.at[worst].set(gen_len), pool_lens)
+        add = is_eos & (ranks < k) & ~state.done
+        hyp_scores = _length_penalize(cand_scores, gen_len + 1,
+                                      gen.length_penalty)
+        cand_pool_scores = jnp.where(add, hyp_scores, jnp.float32(4 * NEG))
+        union_scores = jnp.concatenate([state.pool_scores, cand_pool_scores])
+        top_scores, top_idx = jax.lax.top_k(union_scores, k)
+        # entries from the old pool keep their seq/len; candidate entries
+        # take the parent beam's tokens and the current generated length
+        from_pool = top_idx < k
+        cand_sel = jnp.clip(top_idx - k, 0, 2 * k - 1)
+        pool_idx = jnp.clip(top_idx, 0, k - 1)
+        new_seqs = state.tokens[cand_beams[cand_sel]]
+        pool_scores = top_scores
+        pool_seqs = jnp.where(from_pool[:, None],
+                              state.pool_seqs[pool_idx], new_seqs)
+        pool_lens = jnp.where(from_pool, state.pool_lens[pool_idx],
+                              jnp.broadcast_to(gen_len, (k,)))
 
         # --- next beams: first K non-eos candidates in order
         sel_key = is_eos.astype(jnp.int32) * (4 * k) + ranks
