@@ -72,6 +72,10 @@ def build_engine(tiny: bool):
     # default stays off because RTN int4 is a quality trade that needs
     # validation on real checkpoints (A/B off: INT4_DECODE=0)
     cfg.engine.use_int4_decode = os.environ.get("INT4_DECODE", "1") == "1"
+    # int4 scale-group width A/B (INT4_GROUP=640 at D=1280: G=2, dense
+    # full-rate K=640 sub-dots instead of 20 half-rate K=64 ones)
+    if os.environ.get("INT4_GROUP"):
+        cfg.engine.int4_group = int(os.environ["INT4_GROUP"])
     # int4 dequant scheme A/B (INT4_EXPAND=1: whole-tile MXU dequant;
     # measured LOSS at bench shape: 0.0843.  INT4_SCHEME=i8sh: int8-lane
     # shift unpack, identical numerics to the default mask unpack)

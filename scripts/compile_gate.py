@@ -48,11 +48,11 @@ def gpt_pack_int8():
                            consts=S((L, 28, D), jnp.float32))
 
 
-def gpt_pack_int4():
+def gpt_pack_int4(groups=D // 128):
     from voice_tts_tpu.ops.fused_decode import FusedDecodePackInt4
     return FusedDecodePackInt4(w=S((L, 12, D // 2, D), jnp.int8),
                                consts=S((L, 28, D), jnp.float32),
-                               gscales=S((L, 12, D // 128, D), jnp.float32))
+                               gscales=S((L, 12, groups, D), jnp.float32))
 
 
 def b1_case(pack, t_max=T_MAX, int8_kv=False, int4_expand=False,
@@ -145,6 +145,9 @@ def cases():
         "b1_int8_kv8_m3": lambda: b1_case(i8, int8_kv=True),
         "b1_int8_kv8_long": lambda: b1_case(i8, t_max=T_LONG, int8_kv=True),
         "b1_int4_m3": lambda: b1_case(i4),
+        "b1_int4_g2_m3": lambda: b1_case(gpt_pack_int4(groups=2)),
+        "b1_int4_g2_m6": lambda: b1_case(gpt_pack_int4(groups=2),
+                                         merge_stages=6),
         "b1_int4_m6": lambda: b1_case(i4, merge_stages=6),
         "b1_int4_expand_m3": lambda: b1_case(i4, int4_expand=True),
         "b1_int4_i8sh_m3": lambda: b1_case(i4, int4_expand="i8sh"),

@@ -74,6 +74,9 @@ def main():
     qtree = quantize_gpt_params(params)
     pack8 = pack_gpt(qtree, cfg.layers)
     pack4 = pack_gpt_int4(params, cfg.layers)
+    # wide-group variant (one scale group per packed half: full-rate MXU
+    # sub-dots; see config.int4_group) — quality delta vs g128 measured here
+    pack4w = pack_gpt_int4(params, cfg.layers, group=cfg.model_dim // 2)
 
     gen = GenerationConfig(do_sample=False, num_beams=1,
                            repetition_penalty=10.0,
@@ -85,7 +88,8 @@ def main():
 
     # ---------------- free-running greedy code identity ----------------
     packs = {"int8": (pack8, False), "int4": (pack4, False),
-             "int4_i8sh": (pack4, "i8sh")}
+             "int4_i8sh": (pack4, "i8sh"),
+             "int4_gwide": (pack4w, False)}
     for pi in range(args.prompts):
         prng = jax.random.PRNGKey(100 + pi)
         cond = jax.random.normal(prng, (1, cfg.condition_num_latent, d)) * 0.3

@@ -295,6 +295,12 @@ class EngineConfig:
     # unpack cost). RTN int4 is a real quality trade — validate on real
     # checkpoints before enabling in production; prefill/latent stay int8
     use_int4_decode: bool = False
+    # int4 scale-group width along the contraction dim (0 = g128 default).
+    # Wider groups = coarser quantization but full-rate MXU sub-dots:
+    # group = model_dim // 2 (G=2) turns the 20 half-rate K=64 sub-dots per
+    # tile into 2 dense K=D/2 dots.  scripts/int4_quality.py bounds the
+    # quality delta per width
+    int4_group: int = 0
     # int4 dequant scheme inside the megakernel: False = i32-mask unpack +
     # per-group K=128 sub-dots scaled on the output; True = whole-tile
     # dequant via an MXU-expanded (D/2, D) scale matrix + two dense K=D/2

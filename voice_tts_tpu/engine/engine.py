@@ -155,8 +155,9 @@ class TTSEngine:
                 if cfg.engine.use_int4_decode:
                     # int4 tiles quantize from the ORIGINAL f32 weights
                     from voice_tts_tpu.ops.fused_decode import pack_gpt_int4
-                    self.fused_pack = pack_gpt_int4(params["gpt"],
-                                                    cfg.gpt.layers)
+                    self.fused_pack = pack_gpt_int4(
+                        params["gpt"], cfg.gpt.layers,
+                        group=cfg.engine.int4_group)
                 else:
                     from voice_tts_tpu.ops.fused_decode import pack_gpt
                     self.fused_pack = pack_gpt(self.params_gpt_rt,

@@ -134,15 +134,25 @@ def group_size(d: int) -> int:
     return min(GROUP, d // 2)
 
 
-@functools.partial(jax.jit, static_argnames=("layers",))
-def pack_gpt_int4(params: Dict[str, Any], layers: int) -> FusedDecodePackInt4:
-    """Pack the f32 GPT trunk into g128 int4 tiles (device-side, jitted)."""
+@functools.partial(jax.jit, static_argnames=("layers", "group"))
+def pack_gpt_int4(params: Dict[str, Any], layers: int,
+                  group: int = 0) -> FusedDecodePackInt4:
+    """Pack the f32 GPT trunk into grouped int4 tiles (device-side, jitted).
+
+    `group` is the scale-group width along the contraction dim (0 = the
+    g128 default).  Wider groups trade quantization granularity for MXU
+    efficiency: the kernel's per-group sub-dots contract K=group lanes, and
+    K=64 dots run the MXU at half rate — group = d//2 (G=2) makes each half
+    ONE dense full-rate dot.  The int4 quality gate
+    (`scripts/int4_quality.py`) quantifies the quality side."""
     g = params["params"]["gpt"]
     ws, cs, ss = [], [], []
     for i in range(layers):
         h = g[f"h_{i}"]
         d = h["attn_c_attn"]["weight"].shape[0]
-        gsz = group_size(d)
+        gsz = group or group_size(d)
+        assert d // 2 % gsz == 0 or gsz == d // 2, (
+            f"group {gsz} must divide the packed half {d // 2}")
         ng = d // gsz
 
         def col_tiles(m, n):
@@ -509,7 +519,8 @@ def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
              == jnp.arange(heads)[None, :]).astype(jnp.float32)
 
     int4 = isinstance(pack, FusedDecodePackInt4)
-    int4_groups = d // group_size(d) if int4 else 0
+    # derive the group count from the pack itself (supports any width)
+    int4_groups = pack.gscales.shape[2] if int4 else 0
     w_rows = d // 2 if int4 else d
     # weight tiles per grid step (True == 3 for backward compat)
     if int4_expand not in (False, True, "i8sh"):
@@ -870,7 +881,8 @@ def fused_decode_step_batch(x: jnp.ndarray, pack: FusedDecodePack,
              == jnp.arange(heads)[None, :]).astype(jnp.float32)
 
     int4 = isinstance(pack, FusedDecodePackInt4)
-    int4_groups = d // group_size(d) if int4 else 0
+    # derive the group count from the pack itself (supports any width)
+    int4_groups = pack.gscales.shape[2] if int4 else 0
     w_rows = d // 2 if int4 else d
     if int4_expand not in (False, True, "i8sh"):
         raise ValueError(f"int4_expand must be False, True, or 'i8sh', "
