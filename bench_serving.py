@@ -21,6 +21,12 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--concurrency", type=int, default=16)
     parser.add_argument("--requests", type=int, default=32)
+    parser.add_argument("--arrival-rate", type=float, default=0.0,
+                        help="mean request arrivals per second (Poisson; "
+                        "0 = all at once).  Staggered arrivals are the "
+                        "workload continuous batching is FOR — a request "
+                        "joins the running decode batch instead of waiting "
+                        "out the current group")
     parser.add_argument("--tiny", action="store_true")
     args = parser.parse_args()
 
@@ -121,9 +127,12 @@ def main():
             audio_total[0] += holder[0].metrics["audio_length"]
         sem.release()
 
+    arrival_rng = np.random.default_rng(7)
     t_start = time.perf_counter()
     threads = []
     for i in range(args.requests):
+        if args.arrival_rate > 0:
+            time.sleep(float(arrival_rng.exponential(1.0 / args.arrival_rate)))
         sem.acquire()
         th = threading.Thread(target=one_request, args=(i,))
         th.start()
