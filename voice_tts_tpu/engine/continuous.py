@@ -24,6 +24,7 @@ stages (`engine._mel_jobs`).  Greedy codes are bit-identical to
 from __future__ import annotations
 
 import functools
+import queue as queue_mod
 import threading
 import time
 from typing import Any, Dict, List, NamedTuple, Optional
@@ -253,6 +254,19 @@ class ContinuousBatcher:
         self._slot_job: List[Optional[dict]] = [None] * self.slots
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        # synthesis runs OFF the scheduler thread so decode chunks keep
+        # dispatching while finished segments vocode (wave-A2 finding: the
+        # inline harvest->synthesize->chunk cycle stalled decoding for the
+        # full s2mel+vocoder latency of every finished group).  The engine's
+        # host-side state (_rng splits, conditioning caches) is not
+        # thread-safe, so both engine touchpoints — _prepare on the
+        # scheduler thread, _mel_jobs here — serialize on _engine_lock;
+        # the chunk dispatches themselves don't need it.
+        self._engine_lock = threading.Lock()
+        self._synth_q: "queue_mod.Queue[List[dict]]" = queue_mod.Queue()
+        self._synth_thread = threading.Thread(target=self._synth_loop,
+                                              daemon=True)
+        self._synth_thread.start()
 
     # ------------------------------------------------------------------
     # submission
@@ -284,12 +298,13 @@ class ContinuousBatcher:
             pending, self._pending = self._pending, []
         for entry in pending:
             req = entry["req"]
-            spk, emovec, segments = self.engine._prepare(
-                req["spk_audio_prompt"], req.get("emo_audio_prompt"),
-                req.get("emo_alpha", 1.0), req.get("emo_vector"),
-                req.get("use_emo_text", False), req.get("emo_text"),
-                req.get("use_random", False), req["text"],
-                req.get("max_text_tokens_per_segment", 120))
+            with self._engine_lock:
+                spk, emovec, segments = self.engine._prepare(
+                    req["spk_audio_prompt"], req.get("emo_audio_prompt"),
+                    req.get("emo_alpha", 1.0), req.get("emo_vector"),
+                    req.get("use_emo_text", False), req.get("emo_text"),
+                    req.get("use_random", False), req["text"],
+                    req.get("max_text_tokens_per_segment", 120))
             entry["segments_left"] = len(segments)
             entry["wavs"] = [None] * len(segments)
             for si, seg in enumerate(segments):
@@ -343,11 +358,30 @@ class ContinuousBatcher:
         return done
 
     def _synthesize(self, jobs: List[dict]):
+        """Queue harvested jobs for the synthesis worker (non-blocking)."""
+        self._synth_q.put(jobs)
+
+    def _synth_loop(self):
+        while True:
+            jobs = self._synth_q.get()
+            try:
+                self._do_synthesize(jobs)
+            except Exception as e:  # noqa: BLE001 — fail those requests only
+                for job in jobs:
+                    entry = job["entry"]
+                    if not entry["event"].is_set():
+                        entry["holder"].append(e)
+                        entry["event"].set()
+            finally:
+                self._synth_q.task_done()
+
+    def _do_synthesize(self, jobs: List[dict]):
         by_cbucket: Dict[int, List[dict]] = {}
         for job in jobs:
             by_cbucket.setdefault(job["cbucket"], []).append(job)
-        for cbucket, group in by_cbucket.items():
-            self.engine._mel_jobs(group, cbucket)
+        with self._engine_lock:
+            for cbucket, group in by_cbucket.items():
+                self.engine._mel_jobs(group, cbucket)
         for job in jobs:
             entry = job["entry"]
             entry["wavs"][job["seg"]] = job["wav"]
@@ -375,14 +409,18 @@ class ContinuousBatcher:
         with self._lock:
             no_pending = not self._pending
         return (no_pending and not self._seg_queue
-                and all(j is None for j in self._slot_job))
+                and all(j is None for j in self._slot_job)
+                and self._synth_q.unfinished_tasks == 0)
 
     def step_once(self) -> bool:
         """One scheduler iteration.  Returns False when fully idle."""
         self._prep_pending()
         self._admit_free_slots()
         if all(j is None for j in self._slot_job):
-            return not self._idle()
+            busy = not self._idle()
+            if busy:            # only synthesis outstanding: don't busy-spin
+                time.sleep(0.001)
+            return busy
         self.state, status = run_chunk(
             self.engine.params_gpt_rt, self.engine.fused_pack,
             self.engine.gpt, self.gen, self.state, self._split_rng(),
@@ -399,6 +437,7 @@ class ContinuousBatcher:
         """Drain everything currently submitted (blocking)."""
         while self.step_once():
             pass
+        self._synth_q.join()
 
     def _fail_all(self, err: Exception):
         """Complete every in-flight request with the error (holder[0] is the
