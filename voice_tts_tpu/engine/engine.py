@@ -37,6 +37,7 @@ from voice_tts_tpu.models.conditioning import CAMPPlus, RepCodec, Wav2Vec2Bert
 from voice_tts_tpu.models.conditioning.repcodec import repcodec_vq2emb
 from voice_tts_tpu.models.gpt import UnifiedVoice
 from voice_tts_tpu.models.gpt.beam import beam_decode, beam_decode_batch
+from voice_tts_tpu.models.gpt.decode import DecodeResult
 from voice_tts_tpu.models.gpt.decode import decode as gpt_decode
 from voice_tts_tpu.models.s2mel import S2Mel
 from voice_tts_tpu.models.s2mel.cfm import cfm_inference
@@ -1050,14 +1051,28 @@ class TTSEngine:
                              int4_expand=self.cfg.engine.int4_expand,
                              merge_stages=self.cfg.engine.merge_decode_stages,
                              fused_batch=self.cfg.engine.use_fused_batch_decode)
-        elif len(jobs) == 1:
-            res = beam_decode(self.params_gpt_rt, self.gpt, gen, cond, emo,
-                              jnp.asarray(text), jnp.asarray(lens), sub,
-                              max_new=gen.max_mel_tokens,
-                              fused_pack=self._beam_fused_pack(),
-                              int8_kv=self.cfg.engine.use_int8_kv,
-                              int4_expand=self.cfg.engine.int4_expand,
-                              merge_stages=self.cfg.engine.merge_decode_stages)
+        elif len(jobs) == 1 or self._beam_fused_pack() is not None:
+            # beams ride the megakernel one request at a time: the vmapped
+            # XLA beam batch pays the physical cache reorder PER VMAP LANE
+            # (measured 9.5 ms/token on long-form segments — 7x the
+            # sequential fused beam), so with a pack available sequential
+            # fused decode wins even before batching
+            results = []
+            for i in range(len(jobs)):
+                sub_i = jax.random.fold_in(sub, i)
+                results.append(beam_decode(
+                    self.params_gpt_rt, self.gpt, gen, cond[i:i + 1],
+                    emo[i:i + 1], jnp.asarray(text[i:i + 1]),
+                    jnp.asarray(lens[i:i + 1]), sub_i,
+                    max_new=gen.max_mel_tokens,
+                    fused_pack=self._beam_fused_pack(),
+                    int8_kv=self.cfg.engine.use_int8_kv,
+                    int4_expand=self.cfg.engine.int4_expand,
+                    merge_stages=self.cfg.engine.merge_decode_stages))
+            res = DecodeResult(
+                jnp.concatenate([r.codes for r in results]),
+                jnp.concatenate([r.lengths for r in results]),
+                jnp.concatenate([r.hit_limit for r in results]))
         else:
             res = beam_decode_batch(self.params_gpt_rt, self.gpt, gen, cond,
                                     emo, jnp.asarray(text), jnp.asarray(lens),
