@@ -67,11 +67,17 @@ def build_engine(tiny: bool):
     cfg.engine.use_int8_decode = os.environ.get("INT8_DECODE", "1") == "1"
     # single-Pallas-call trunk megakernel for the batch-1 AR loop
     cfg.engine.use_fused_decode = os.environ.get("FUSED_DECODE", "1") == "1"
-    # int4 (g128) megakernel tiles — bench default ON (r2 A/B winner:
-    # RTF 0.0697 vs 0.0715 int8 at merge=3 -> 0.0652 combined); the ENGINE
-    # default stays off because RTN int4 is a quality trade that needs
-    # validation on real checkpoints (A/B off: INT4_DECODE=0)
-    cfg.engine.use_int4_decode = os.environ.get("INT4_DECODE", "1") == "1"
+    # int4 (g128) megakernel tiles — bench default now OFF, matching the
+    # engine default (round-3 quality gate, bench_results/r3/int4_quality:
+    # teacher-forced logit KL 5.7e-3/step vs int8's 4.2e-5 — 135x — with
+    # greedy top-1 agreement indistinguishable from noise at random
+    # weights; per VERDICT r2 item 5 the unvalidated scheme no longer
+    # drives the headline.  A/B on: INT4_DECODE=1)
+    cfg.engine.use_int4_decode = os.environ.get("INT4_DECODE", "0") == "1"
+    # self-speculative decode A/B (SPEC_DECODE=4: int4 drafts + one int8
+    # verify pass per 4 tokens; output distribution exactly the int8 path)
+    if os.environ.get("SPEC_DECODE"):
+        cfg.engine.spec_decode_k = int(os.environ["SPEC_DECODE"])
     # int4 scale-group width A/B (INT4_GROUP=640 at D=1280: G=2, dense
     # full-rate K=640 sub-dots instead of 20 half-rate K=64 ones)
     if os.environ.get("INT4_GROUP"):

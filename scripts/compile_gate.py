@@ -80,6 +80,15 @@ def batch_case(pack, b, t_max=T_MAX, int8_kv=False, int4_expand=False,
         merge_stages=merge_stages, beam_src=src)
 
 
+def verify_case(pack, k, t_max=T_MAX, merge_stages=3,
+                cache_dtype=jnp.bfloat16):
+    from voice_tts_tpu.ops import fused_decode as fd
+    cache = S((L, 2, 1, t_max, D), cache_dtype)
+    return fd.fused_decode_verify.lower(
+        S((k, D), jnp.float32), pack, cache, S((t_max, 1), jnp.float32),
+        S((), jnp.int32), H, merge_stages=merge_stages)
+
+
 def decode_attention_case():
     from voice_tts_tpu.ops.decode_attention import decode_attention
     fn = jax.jit(lambda q, k, v, bias, ln: decode_attention(q, k, v, bias, ln))
@@ -174,6 +183,10 @@ def cases():
                                                   per_row_pos=True),
         "b8_int8_kv8_long": lambda: batch_case(i8, 8, t_max=T_LONG,
                                                int8_kv=True),
+        # --- speculative-verify kernel (K tokens, one weight pass) ---
+        "verify_k4_int8_m3": lambda: verify_case(i8, 4),
+        "verify_k4_int8_long": lambda: verify_case(i8, 4, t_max=T_LONG),
+        "verify_k6_int8_m3": lambda: verify_case(i8, 6),
         # --- the rest of the kernel zoo ---
         "decode_attention": decode_attention_case,
         "aa_snake_c768": lambda: aa_snake_case(768, 1792),

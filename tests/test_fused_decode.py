@@ -696,3 +696,109 @@ def test_fused_full_decode_greedy(setup):
                                   np.asarray(res_x.codes))
     np.testing.assert_array_equal(np.asarray(res_f.lengths),
                                   np.asarray(res_x.lengths))
+
+
+def test_verify_matches_sequential_steps(setup):
+    """Speculative-verify kernel: ONE K=4 `fused_decode_verify` call
+    reproduces 4 sequential `fused_decode_step` calls — per-row hidden
+    states and written kv rows match (shared-prefix + in-VMEM causal tail
+    attention == step-by-step attention over a growing cache)."""
+    from voice_tts_tpu.ops.fused_decode import (apply_kv_update_span,
+                                                fused_decode_verify)
+
+    model, qparams, pack = setup
+    p, t_max, valid, logits0, cache = _prefill(model, qparams)
+    bias = jnp.where(valid[0, :, None], 0.0, -1e30).astype(jnp.float32)
+
+    tok = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    cache_f = cache_to_time_major(cache)
+
+    # sequential reference: 4 steps, greedy chaining
+    toks, hiddens, embs = [tok], [], []
+    cache_seq = cache_f
+    for step in range(1, 5):
+        step_a = jnp.asarray(step)
+        emb = model.apply(qparams, toks[-1], step_a - 1,
+                          method=UnifiedVoice.embed_decode_token)
+        embs.append(emb)
+        hidden, kv_new = fused_decode_step(emb, pack, cache_seq, bias,
+                                           p + step_a, CFG.heads,
+                                           interpret=True)
+        cache_seq = apply_kv_update(cache_seq, kv_new, p + step_a)
+        hiddens.append(hidden)
+        logits = model.apply(qparams, hidden, method=UnifiedVoice.readout)
+        toks.append(jnp.argmax(logits, axis=-1).astype(jnp.int32))
+
+    # one verify call on the same 4 tokens
+    x = jnp.concatenate(embs, axis=0)                   # (4, D)
+    hid_v, kv_v = fused_decode_verify(x, pack, cache_f, bias,
+                                      p + 1, CFG.heads, interpret=True)
+    cache_v = apply_kv_update_span(cache_f, kv_v, p + 1)
+
+    hs = np.concatenate([np.asarray(h, np.float32) for h in hiddens])
+    hv = np.asarray(hid_v, np.float32)
+    np.testing.assert_allclose(hv, hs, rtol=0, atol=0.05 * np.abs(hs).max())
+    cs = np.asarray(cache_seq[:, :, 0, p + 1:p + 5], np.float32)
+    cv = np.asarray(cache_v[:, :, 0, p + 1:p + 5], np.float32)
+    np.testing.assert_allclose(cv, cs, rtol=0.05, atol=0.05)
+
+
+def test_spec_decode_greedy_matches_decode(setup):
+    """Greedy self-speculative decode (draft == target pack) reproduces the
+    plain fused greedy decode exactly: with an identical draft, every
+    acceptance check passes via argmax equality and the emitted stream is
+    the target stream."""
+    from voice_tts_tpu.models.gpt.decode import decode, spec_decode
+
+    model, qparams, pack = setup
+    gen = GenerationConfig(do_sample=False, num_beams=1,
+                           repetition_penalty=10.0, max_mel_tokens=12)
+    rng = jax.random.PRNGKey(9)
+    cond = jax.random.normal(rng, (1, CFG.condition_num_latent,
+                                   CFG.model_dim)) * 0.3
+    emo = jax.random.normal(jax.random.fold_in(rng, 1),
+                            (1, CFG.model_dim)) * 0.1
+    text = jnp.asarray([[5, 9, 3, 7, 2, 8, 4, 6]])
+    tlen = jnp.asarray([8])
+
+    ref = decode(qparams, model, gen, cond, emo, text, tlen, rng,
+                 max_new=12, fused_pack=pack)
+    spec = spec_decode(qparams, model, gen, cond, emo, text, tlen, rng,
+                       max_new=12, pack_target=pack, pack_draft=pack,
+                       k_spec=4)
+    rl, sl = int(ref.lengths[0]), int(spec.lengths[0])
+    assert rl == sl, (rl, sl)
+    np.testing.assert_array_equal(np.asarray(ref.codes[0, :rl]),
+                                  np.asarray(spec.codes[0, :sl]))
+
+
+def test_spec_decode_sampling_runs(setup):
+    """Sampling-mode speculative decode with an int4 draft: emits a valid
+    stream, respects the cap, and the repetition-penalty presence pipeline
+    doesn't diverge (smoke — distribution exactness is by construction of
+    rejection sampling; greedy exactness is the test above)."""
+    from voice_tts_tpu.models.gpt.decode import spec_decode
+    from voice_tts_tpu.ops.fused_decode import pack_gpt_int4
+
+    model, qparams, pack = setup
+    params_f32 = jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x, qparams)
+    pack4 = pack_gpt_int4(params_f32, CFG.layers)
+    gen = GenerationConfig(do_sample=True, num_beams=1, top_k=30, top_p=0.8,
+                           temperature=0.8, repetition_penalty=10.0,
+                           max_mel_tokens=10)
+    rng = jax.random.PRNGKey(3)
+    cond = jax.random.normal(rng, (1, CFG.condition_num_latent,
+                                   CFG.model_dim)) * 0.3
+    emo = jax.random.normal(jax.random.fold_in(rng, 2),
+                            (1, CFG.model_dim)) * 0.1
+    text = jnp.asarray([[5, 9, 3, 7, 2, 8, 4, 6]])
+    tlen = jnp.asarray([8])
+    res = spec_decode(qparams, model, gen, cond, emo, text, tlen, rng,
+                      max_new=10, pack_target=pack, pack_draft=pack4,
+                      k_spec=4)
+    n = int(res.lengths[0])
+    assert 1 <= n <= 10
+    codes = np.asarray(res.codes[0, :n])
+    assert ((codes >= 0) & (codes < CFG.number_mel_codes)).all()

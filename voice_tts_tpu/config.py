@@ -295,6 +295,13 @@ class EngineConfig:
     # unpack cost). RTN int4 is a real quality trade — validate on real
     # checkpoints before enabling in production; prefill/latent stay int8
     use_int4_decode: bool = False
+    # self-speculative decoding: draft K-1 tokens with an int4 pack, then
+    # verify all of them in ONE int8 megakernel pass (the weight stream —
+    # the dominant decode cost — is read once per K tokens).  Rejection
+    # sampling keeps the emitted distribution EXACTLY the int8 path's; int4
+    # only affects the acceptance rate.  0 = off; 3..6 typical.  Single-
+    # request (batch 1, beams 1) path only
+    spec_decode_k: int = 0
     # int4 scale-group width along the contraction dim (0 = g128 default).
     # Wider groups = coarser quantization but full-rate MXU sub-dots:
     # group = model_dim // 2 (G=2) turns the 20 half-rate K=64 sub-dots per

@@ -39,6 +39,7 @@ from voice_tts_tpu.models.gpt import UnifiedVoice
 from voice_tts_tpu.models.gpt.beam import beam_decode, beam_decode_batch
 from voice_tts_tpu.models.gpt.decode import DecodeResult
 from voice_tts_tpu.models.gpt.decode import decode as gpt_decode
+from voice_tts_tpu.models.gpt.decode import spec_decode
 from voice_tts_tpu.models.s2mel import S2Mel
 from voice_tts_tpu.models.s2mel.cfm import cfm_inference
 from voice_tts_tpu.models.s2mel.s2mel import (
@@ -129,6 +130,7 @@ class TTSEngine:
         # bf16 GPT runtime params for decode + teacher-forced latent
         # (reference runs fp16 autocast on the GPT only, `infer_v2.py:628,695`)
         self.fused_pack = None
+        self.spec_draft_pack = None
         self.device = None   # set by `to_device` (per-chip serving replicas)
         self._tp_mesh = None
         if cfg.engine.tensor_parallel > 1:
@@ -163,6 +165,15 @@ class TTSEngine:
                     from voice_tts_tpu.ops.fused_decode import pack_gpt
                     self.fused_pack = pack_gpt(self.params_gpt_rt,
                                                cfg.gpt.layers)
+                if cfg.engine.spec_decode_k >= 2:
+                    if cfg.engine.use_int4_decode:
+                        raise ValueError(
+                            "spec_decode_k needs the int8 target pack; "
+                            "unset use_int4_decode (int4 becomes the DRAFT)")
+                    from voice_tts_tpu.ops.fused_decode import pack_gpt_int4
+                    self.spec_draft_pack = pack_gpt_int4(
+                        params["gpt"], cfg.gpt.layers,
+                        group=cfg.engine.int4_group)
         elif cfg.engine.use_fp16:
             self.params_gpt_rt = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16)
@@ -586,12 +597,25 @@ class TTSEngine:
             identical streams (wav-exact parity under greedy decode).
             """
             rng_d, rng_s = rng[0], rng[1]
-            res = gpt_decode(gpt_params, self.gpt, gen, cond, emovec, text,
-                             text_len, rng_d, max_new=max_new,
-                             fused_pack=fused_pack,
-                             int8_kv=cfg.engine.use_int8_kv,
-                             int4_expand=cfg.engine.int4_expand,
-                             merge_stages=cfg.engine.merge_decode_stages)
+            target_pack, draft_pack = fused_pack
+            if cfg.engine.spec_decode_k >= 2 and draft_pack is not None:
+                # self-speculative: int4 drafts, ONE int8 verify pass per
+                # K tokens; rejection sampling keeps the output distribution
+                # exactly the int8 path's (models/gpt/decode.spec_decode)
+                res = spec_decode(gpt_params, self.gpt, gen, cond, emovec,
+                                  text, text_len, rng_d, max_new=max_new,
+                                  pack_target=target_pack,
+                                  pack_draft=draft_pack,
+                                  k_spec=cfg.engine.spec_decode_k,
+                                  int4_expand=cfg.engine.int4_expand,
+                                  merge_stages=cfg.engine.merge_decode_stages)
+            else:
+                res = gpt_decode(gpt_params, self.gpt, gen, cond, emovec,
+                                 text, text_len, rng_d, max_new=max_new,
+                                 fused_pack=target_pack,
+                                 int8_kv=cfg.engine.use_int8_kv,
+                                 int4_expand=cfg.engine.int4_expand,
+                                 merge_stages=cfg.engine.merge_decode_stages)
             # stop token excluded unless the row never produced one
             # (reference `infer_v2.py:676-687`)
             code_len0 = jnp.maximum(
@@ -1180,7 +1204,9 @@ class TTSEngine:
             self._rng, sub_s = jax.random.split(self._rng)
             while True:
                 out = self._segment_pipeline(
-                    self.params_gpt_rt, self.fused_pack, self.params_s2mel_rt,
+                    self.params_gpt_rt, (self.fused_pack,
+                                         self.spec_draft_pack),
+                    self.params_s2mel_rt,
                     self.params["repcodec"], self.params_voc_rt,
                     spk["cond_latents"], emovec, jnp.asarray(text),
                     jnp.asarray([min(text_len, bucket)]),
@@ -1207,14 +1233,27 @@ class TTSEngine:
         t0 = time.perf_counter()
         self._rng, sub = jax.random.split(self._rng)
         if gen.num_beams <= 1:
-            res = gpt_decode(self.params_gpt_rt, self.gpt, gen,
-                             spk["cond_latents"], emovec, jnp.asarray(text),
-                             jnp.asarray([min(text_len, bucket)]), sub,
-                             max_new=gen.max_mel_tokens,
-                             fused_pack=self.fused_pack,
-                             int8_kv=self.cfg.engine.use_int8_kv,
-                             int4_expand=self.cfg.engine.int4_expand,
-                             merge_stages=self.cfg.engine.merge_decode_stages)
+            if (self.cfg.engine.spec_decode_k >= 2
+                    and self.spec_draft_pack is not None):
+                res = spec_decode(
+                    self.params_gpt_rt, self.gpt, gen, spk["cond_latents"],
+                    emovec, jnp.asarray(text),
+                    jnp.asarray([min(text_len, bucket)]), sub,
+                    max_new=gen.max_mel_tokens, pack_target=self.fused_pack,
+                    pack_draft=self.spec_draft_pack,
+                    k_spec=self.cfg.engine.spec_decode_k,
+                    int4_expand=self.cfg.engine.int4_expand,
+                    merge_stages=self.cfg.engine.merge_decode_stages)
+            else:
+                res = gpt_decode(
+                    self.params_gpt_rt, self.gpt, gen,
+                    spk["cond_latents"], emovec, jnp.asarray(text),
+                    jnp.asarray([min(text_len, bucket)]), sub,
+                    max_new=gen.max_mel_tokens,
+                    fused_pack=self.fused_pack,
+                    int8_kv=self.cfg.engine.use_int8_kv,
+                    int4_expand=self.cfg.engine.int4_expand,
+                    merge_stages=self.cfg.engine.merge_decode_stages)
         else:
             res = beam_decode(self.params_gpt_rt, self.gpt, gen,
                               spk["cond_latents"], emovec, jnp.asarray(text),

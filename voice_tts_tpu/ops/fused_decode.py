@@ -530,7 +530,7 @@ def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
     if tpg not in (1, 3, 6):
         raise ValueError(
             f"merge_stages must be one of 0/False (one tile per step), 3, "
-            f"or 6 (int4 packs only — VMEM), got {merge_stages!r}")
+            f"or 6, got {merge_stages!r}")
     in_specs = [
         pl.BlockSpec((1, d), lambda i, t, s: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -601,6 +601,11 @@ def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
             jax.ShapeDtypeStruct((1, d), jnp.float32),
             jax.ShapeDtypeStruct((l, 2, d), kv_new_dtype),
         ],
+        # merge_stages=6 with int8 tiles double-buffers ~19.7 MB of weights
+        # — above the 16 MiB default scoped budget (int4 m6 fit; int8 m6
+        # previously "VMEM" — now allowed, A/B'd like every grid variant)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     return y, kv_new
@@ -747,8 +752,96 @@ def _attend_batch(layer, scal_ref, heads, d, bt, q_in, k_cur, v_cur,
     return ctx / head_bcast(l_f)                      # (B, D)
 
 
+def _attend_verify(layer, scal_ref, heads, d, bt, q_in, k_cur, v_cur,
+                   hmask_ref, hmask_t_ref, cache_ref, kbuf, vbuf,
+                   sem_k, sem_v):
+    """Speculative-verify attention: K rows of ONE sequence at consecutive
+    positions p0..p0+K-1.  All rows share the committed cache prefix
+    [0, p0) (one (1, BT, D) slab DMA per block serves every row) and then
+    attend the K in-VMEM current tokens CAUSALLY (row j sees rows <= j) —
+    this is what lets one kernel invocation verify K drafted tokens with a
+    single pass over the int8 weight stream.  scal_ref (3,): [p0, inv_lo,
+    inv_hi] — the prompt-padding interval is common to the whole sequence.
+    Returns the (K, D) context."""
+    kk = q_in.shape[0]
+    hd = d // heads
+    hmask = hmask_ref[...]
+    hmask_t = hmask_t_ref[...]
+    q = q_in * (hd ** -0.5)       # (K, D) f32
+    p0, lo, hi = scal_ref[0, 0], scal_ref[1, 0], scal_ref[2, 0]
+    n_blocks = pl.cdiv(p0, bt)
+
+    def dma_k(j, slot):
+        return pltpu.make_async_copy(
+            cache_ref.at[layer, 0, :, pl.ds(j * bt, bt), :],
+            kbuf.at[slot], sem_k.at[slot])
+
+    def dma_v(j, slot):
+        return pltpu.make_async_copy(
+            cache_ref.at[layer, 1, :, pl.ds(j * bt, bt), :],
+            vbuf.at[slot], sem_v.at[slot])
+
+    def head_sum(x):
+        return jnp.dot(x, hmask, preferred_element_type=jnp.float32)
+
+    def head_bcast(x):
+        return jnp.dot(x, hmask_t, preferred_element_type=jnp.float32)
+
+    def step(j, carry):
+        m, l, acc = carry         # (K, H), (K, H), (K, D)
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_blocks)
+        def _():
+            nxt = jax.lax.rem(j + 1, 2)
+            dma_k(j + 1, nxt).start()
+            dma_v(j + 1, nxt).start()
+
+        dma_k(j, slot).wait()
+        t0 = j * bt
+        k = kbuf[slot][0].astype(jnp.float32)         # (BT, D) shared slab
+        scores = head_sum((q[:, None, :] * k[None]).reshape(kk * bt, d))
+        scores = scores.reshape(kk, bt, heads)
+        row = jax.lax.broadcasted_iota(jnp.int32, (kk, bt, heads), 1) + t0
+        keep = (row < p0) & ((row < lo) | (row >= hi))
+        scores = jnp.where(keep, scores, -jnp.inf)
+
+        m_new = jnp.maximum(m, jnp.max(scores, axis=1))
+        m_safe = jnp.where(m_new == -jnp.inf, 0.0, m_new)
+        alpha = jnp.exp(m - m_safe)
+        p = jnp.exp(scores - m_safe[:, None, :])
+        l_new = l * alpha + jnp.sum(p, axis=1)
+
+        dma_v(j, slot).wait()
+        v = vbuf[slot][0].astype(jnp.float32)
+        pb = head_bcast(p.reshape(kk * bt, heads)).reshape(kk, bt, d)
+        pv = jnp.sum(pb * v, axis=1)
+        acc_new = acc * head_bcast(alpha) + pv
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((kk, heads), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((kk, heads), jnp.float32)
+    a0 = jnp.zeros((kk, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_blocks, step, (m0, l0, a0))
+
+    # causal tail over the K in-VMEM tokens: row j attends rows i <= j
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (kk, heads), 0)
+    for i in range(kk):
+        s_i = head_sum(q * k_cur[i:i + 1])            # (K, H)
+        s_i = jnp.where(row_idx >= i, s_i, -jnp.inf)
+        m_new = jnp.maximum(m, s_i)
+        m_safe = jnp.where(m_new == -jnp.inf, 0.0, m_new)
+        alpha = jnp.exp(m - m_safe)
+        p_i = jnp.exp(s_i - m_safe)
+        l = l * alpha + p_i
+        acc = acc * head_bcast(alpha) + head_bcast(p_i) * v_cur[i:i + 1]
+        m = m_new
+    return acc / head_bcast(l)                        # (K, D)
+
+
 def _kernel_batch(scal_ref, x_ref, w_ref, c_ref, *rest, heads, int4_groups,
-                  int4_expand, int8_kv, has_src, tpg, block_t):
+                  int4_expand, int8_kv, has_src, tpg, block_t,
+                  verify=False):
     """Batched variant of `_kernel_merged`: (B, D) activations, grid
     (L, 12/tpg).  Weight tiles stream exactly as in the batch-1 kernel (the
     DMA amortizes over the batch); the residual/ln/qkv/mlp scratch carries a
@@ -797,10 +890,17 @@ def _kernel_batch(scal_ref, x_ref, w_ref, c_ref, *rest, heads, int4_groups,
             v_s[...] = v
             kv_ref[0, 1] = v.astype(kv_ref.dtype)
         elif t == 3:
-            ctx = _attend_batch(layer, scal_ref, heads, d, block_t, q_s[...],
-                                k_s[...], v_s[...], hmask_ref,
-                                hmask_t_ref, cache_ref, kscale_ref, src_ref,
-                                kbuf, vbuf, sem_k, sem_v, int8_kv)
+            if verify:
+                ctx = _attend_verify(layer, scal_ref, heads, d, block_t,
+                                     q_s[...], k_s[...], v_s[...], hmask_ref,
+                                     hmask_t_ref, cache_ref, kbuf, vbuf,
+                                     sem_k, sem_v)
+            else:
+                ctx = _attend_batch(layer, scal_ref, heads, d, block_t,
+                                    q_s[...], k_s[...], v_s[...], hmask_ref,
+                                    hmask_t_ref, cache_ref, kscale_ref,
+                                    src_ref, kbuf, vbuf, sem_k, sem_v,
+                                    int8_kv)
             x_s[...] = x_s[...] + dot(ctx, 3)
             ln_s[...] = _ln(x_s[...], c_ref[0, 26:27], c_ref[0, 27:28])
         elif t in (4, 5, 6, 7):
@@ -982,6 +1082,129 @@ def fused_decode_step_batch(x: jnp.ndarray, pack: FusedDecodePack,
         interpret=interpret,
     )(*args)
     return y, kv_new
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "interpret", "int4_expand",
+                                    "merge_stages"))
+def fused_decode_verify(x: jnp.ndarray, pack: FusedDecodePack,
+                        kv_cache: jnp.ndarray, bias: jnp.ndarray,
+                        pos: jnp.ndarray, heads: int,
+                        interpret: bool = False,
+                        int4_expand: bool = False,
+                        merge_stages: bool | int = False):
+    """Speculative-verify trunk step: K tokens of ONE sequence in a single
+    megakernel pass.  x (K, D) embeddings of tokens at positions
+    pos..pos+K-1; kv_cache TIME-MAJOR (L, 2, 1, Tmax, D) (the batch-1
+    cache); bias (Tmax, 1) as in `fused_decode_step`; pos scalar = the
+    first row's position (cache positions [0, pos) are committed history).
+
+    The weight stream is read ONCE for all K tokens — the whole point of
+    speculative decoding on a weight-DMA-bound decode: K drafted tokens
+    verify at ~1 token's weight traffic.  Attention: shared prefix +
+    in-VMEM causal tail over the K rows (`_attend_verify`).
+
+    Returns (hidden (K, D) f32, kv_new (L, 2, K, D)); commit with
+    `apply_kv_update_span` (write all K rows — rows past the accepted count
+    are garbage beyond the live prefix and masked by `pos` bookkeeping).
+    """
+    l, _, b, t_max, d = kv_cache.shape
+    kk = x.shape[0]
+    assert b == 1 and d % heads == 0 and x.shape == (kk, d)
+    assert 2 <= kk <= 8, "verify sized for 2..8 draft tokens"
+    assert t_max % BLOCK_T == 0
+    assert bias.shape == (t_max, 1)
+
+    hmask = (jnp.arange(d)[:, None] // (d // heads)
+             == jnp.arange(heads)[None, :]).astype(jnp.float32)
+    int4 = isinstance(pack, FusedDecodePackInt4)
+    int4_groups = pack.gscales.shape[2] if int4 else 0
+    w_rows = d // 2 if int4 else d
+    if int4_expand not in (False, True, "i8sh"):
+        raise ValueError(f"int4_expand must be False, True, or 'i8sh', "
+                         f"got {int4_expand!r}")
+    tpg = (3 if merge_stages is True else int(merge_stages)) or 1
+    if tpg not in (1, 3, 6):
+        raise ValueError(f"merge_stages must be 0/False, 3 or 6, got "
+                         f"{merge_stages!r}")
+    in_specs = [
+        pl.BlockSpec((kk, d), lambda i, t, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tpg, w_rows, d), lambda i, t, s: (i, t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 28, d), lambda i, t, s: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if int4:
+        in_specs.append(
+            pl.BlockSpec((1, tpg, int4_groups, d),
+                         lambda i, t, s: (i, t, 0, 0),
+                         memory_space=pltpu.VMEM))
+    in_specs += [
+        pl.BlockSpec((d, heads), lambda i, t, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, d), lambda i, t, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),            # kv cache (HBM)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(l, TILES_PER_LAYER // tpg),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((kk, d), lambda i, t, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, kk, d), lambda i, t, s: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((kk, d), jnp.float32),         # x_s
+            pltpu.VMEM((kk, d), jnp.float32),         # ln_s
+            pltpu.VMEM((kk, d), jnp.float32),         # q_s
+            pltpu.VMEM((kk, d), jnp.float32),         # k_s
+            pltpu.VMEM((kk, d), jnp.float32),         # v_s
+            pltpu.VMEM((4, kk, d), jnp.float32),      # h_s
+            pltpu.VMEM((kk, d), jnp.float32),         # acc_s
+            pltpu.VMEM((2, 1, BLOCK_T, d), kv_cache.dtype),  # kbuf
+            pltpu.VMEM((2, 1, BLOCK_T, d), kv_cache.dtype),  # vbuf
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_batch, heads=heads, int4_groups=int4_groups,
+        int4_expand=int4_expand, int8_kv=False, has_src=False, tpg=tpg,
+        block_t=BLOCK_T, verify=True)
+    invalid = bias[:, 0] < -1e29
+    inv_lo = jnp.argmax(invalid).astype(jnp.int32)
+    inv_hi = inv_lo + jnp.sum(invalid).astype(jnp.int32)
+    scal = jnp.stack([jnp.asarray(pos, jnp.int32).reshape(()),
+                      inv_lo, inv_hi]).reshape(3, 1)
+    args = [scal, x.astype(jnp.float32), pack.w, pack.consts]
+    if int4:
+        args.append(pack.gscales)
+    args += [hmask, jnp.transpose(hmask), kv_cache]
+    y, kv_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((kk, d), jnp.float32),
+            jax.ShapeDtypeStruct((l, 2, kk, d), kv_cache.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    return y, kv_new
+
+
+def apply_kv_update_span(kv_cache: jnp.ndarray, kv_new: jnp.ndarray,
+                         pos: jnp.ndarray) -> jnp.ndarray:
+    """Write kv_new (L, 2, K, D) at the contiguous span [pos, pos+K) of the
+    batch-1 time-major cache (speculative verify commit)."""
+    return jax.lax.dynamic_update_slice(
+        kv_cache, kv_new[:, :, None].astype(kv_cache.dtype),
+        (0, 0, 0, pos, 0))
 
 
 def quantize_kv_cache_batch(tm_cache: jnp.ndarray):
