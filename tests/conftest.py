@@ -41,6 +41,12 @@ _SLOW_MODULES = {
     "test_fused_decode",      # interpret-mode megakernel sweeps
     "test_continuous",        # interpret-mode continuous batching
     "test_pipeline_parity",   # chained decode->s2mel->vocoder parity
+    # e2e tiny-engine suites: each test compiles a fresh stage-graph set on
+    # 1 CPU (2-6 min apiece — measured r3 CI run: 64 min total).  A
+    # representative core stays in the CI tier via @pytest.mark.ci_tier
+    "test_engine",
+    "test_serving",
+    "test_fused_vocoder",
 }
 
 

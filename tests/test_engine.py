@@ -1,3 +1,4 @@
+import pytest
 """End-to-end engine test on the tiny config with random weights."""
 
 import numpy as np
@@ -11,6 +12,7 @@ def _tiny_engine():
     return TTSEngine.tiny(seed=0)
 
 
+@pytest.mark.ci_tier
 def test_engine_end_to_end(tmp_path):
     engine = _tiny_engine()
     sr = 22050
@@ -112,6 +114,7 @@ def test_fused_pipeline_auto_bucket():
     assert seen == [32, 64] and len(w_retry) > 0
 
 
+@pytest.mark.ci_tier
 def test_engine_emotion_controls():
     engine = _tiny_engine()
     sr = 22050
@@ -189,6 +192,7 @@ def test_more_segment_before_plumbs_to_quick_streaming():
         max_text_tokens_per_segment=8)))
 
 
+@pytest.mark.ci_tier
 def test_typical_sampling_runs():
     import jax
     import jax.numpy as jnp

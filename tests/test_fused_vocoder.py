@@ -63,6 +63,7 @@ def test_fused_stage_interior_exact():
     assert np.max(np.abs(out - ref)) < 0.01 * scale
 
 
+@pytest.mark.ci_tier
 def test_fused_stage_multi_chunk_matches_single_chunk():
     model, params = _init_model(CFG)
     x = (jax.random.normal(jax.random.PRNGKey(4), (1, 16, 512)) * 0.3).astype(

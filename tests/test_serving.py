@@ -65,6 +65,7 @@ def _hex_prompt():
     return encode_wav_int16(tone * 32767, sr).hex()
 
 
+@pytest.mark.ci_tier
 def test_root_and_health(server):
     status, data = _request(server, "GET", "/")
     assert status == 200 and data["model_loaded"] is True
@@ -76,6 +77,7 @@ def test_root_and_health(server):
     assert {"replica", "device", "tensor_parallel"} <= set(data["replicas"][0])
 
 
+@pytest.mark.ci_tier
 def test_tts_roundtrip(server):
     status, data = _request(server, "POST", "/tts", {
         "text": "hi there.", "spk_audio": _hex_prompt()})
@@ -87,6 +89,7 @@ def test_tts_roundtrip(server):
     assert data["audio_length"] > 0
 
 
+@pytest.mark.ci_tier
 def test_tts_with_emotion_label(server):
     status, data = _request(server, "POST", "/tts", {
         "text": "hello.", "spk_audio": _hex_prompt(),
@@ -94,6 +97,7 @@ def test_tts_with_emotion_label(server):
     assert status == 200, data
 
 
+@pytest.mark.ci_tier
 def test_error_taxonomy(server):
     # bad audio input format -> 400
     status, data = _request(server, "POST", "/tts", {
@@ -118,6 +122,7 @@ def test_error_taxonomy(server):
     assert status == 405
 
 
+@pytest.mark.ci_tier
 def test_metrics_endpoint(server):
     conn = http.client.HTTPConnection("127.0.0.1", server, timeout=30)
     conn.request("GET", "/metrics")
