@@ -1,7 +1,7 @@
-import pytest
 """End-to-end engine test on the tiny config with random weights."""
 
 import numpy as np
+import pytest
 
 from voice_tts_tpu.audio import decode_audio_bytes, encode_wav_int16
 from voice_tts_tpu.config import TTSConfig

@@ -163,6 +163,47 @@ def test_conditioning_parity_perceiver_branch():
     np.testing.assert_allclose(ours, ref_cond, atol=2e-4, rtol=1e-3)
 
 
+@needs_ref
+def test_conditioning_parity_default_mean_branch():
+    """The reference's FUNCTIONAL default arm: any condition_type outside
+    the named set builds `ConditioningEncoder(1024, dim, mean=True)`
+    (`model_v2.py:366`) and get_conditioning mean-pools over a singleton
+    clip axis to (B, 1, dim) (`model_v2.py:533-545`).  Converted weights,
+    parity vs the actual reference module."""
+    import dataclasses
+
+    import torch
+    install_reference_gpt()
+    cfg = dataclasses.replace(TINY, condition_type="default")
+    ref = _build_reference(cfg)
+    with torch.no_grad():
+        # zero-init proj_out would make every AttentionBlock an identity
+        # (see the perceiver-branch test); randomize so attention contributes
+        for blk in ref.conditioning_encoder.attn:
+            blk.proj_out.weight.normal_(0, 0.05)
+            blk.proj_out.bias.normal_(0, 0.05)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_unified_voice(sd)
+    model = UnifiedVoice(cfg)
+
+    rng = np.random.default_rng(6)
+    t = 19
+    spk = rng.normal(size=(1, t, 1024)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        ref_cond = ref.get_conditioning(
+            torch.from_numpy(spk).transpose(1, 2)).numpy()
+    ours = np.asarray(model.apply(
+        params, jnp.asarray(spk),
+        method=UnifiedVoice.get_conditioning))
+    assert ref_cond.shape[1] == 1  # mean-pooled single latent
+    assert ours.shape == ref_cond.shape
+    np.testing.assert_allclose(ours, ref_cond, atol=2e-4, rtol=1e-3)
+
+    from voice_tts_tpu.models.gpt.unified_voice import n_cond_latents
+    assert n_cond_latents(cfg) == 1
+    assert n_cond_latents(TINY) == TINY.condition_num_latent
+
+
 def test_emovec_parity(ref_and_params):
     import torch
     cfg, ref, params = ref_and_params

@@ -74,7 +74,12 @@ def test_root_and_health(server):
     status, data = _request(server, "GET", "/debug/worker-info")
     assert status == 200 and data["model_info"]["loaded"] is True
     assert len(data["replicas"]) == data["model_info"]["replicas"]
-    assert {"replica", "device", "tensor_parallel"} <= set(data["replicas"][0])
+    assert {"replica", "device", "tensor_parallel",
+            "engine_flags", "num_beams"} <= set(data["replicas"][0])
+    flags = data["replicas"][0]["engine_flags"]
+    assert {"use_int8_decode", "use_fused_decode", "use_fused_batch_decode",
+            "use_fused_beam_decode", "use_int8_kv",
+            "fuse_pipeline"} <= set(flags)
 
 
 @pytest.mark.ci_tier
@@ -249,3 +254,54 @@ def test_drain_waits_for_queued_work():
         assert await service.drain(graceful_timeout=0.5)
 
     asyncio.run(scenario())
+
+
+@pytest.mark.ci_tier
+def test_serving_profile_enables_measured_winners():
+    """The production profile must enable every committed-winner fast path
+    (the round-3 verdict found `serving/app.py --model-dir` served the
+    slowest measured config because the flags only lived in bench env
+    vars)."""
+    from voice_tts_tpu.config import TTSConfig
+
+    cfg = TTSConfig.serving()
+    e = cfg.engine
+    assert e.use_fp16 and e.use_int8_decode and e.use_fused_decode
+    assert e.use_fused_batch_decode and e.use_fused_beam_decode
+    assert e.use_int8_kv and e.fuse_pipeline
+    assert e.merge_decode_stages == 3
+    # quality gate: int4 stays opt-in until real-checkpoint validation
+    assert not e.use_int4_decode and e.spec_decode_k == 0
+    # the reference default generation config is untouched
+    assert cfg.generation.num_beams == 3
+
+    # apply_serving_profile layers onto an existing (artifact) config
+    cfg2 = TTSConfig.tiny()
+    cfg2.apply_serving_profile()
+    assert cfg2.engine.use_fused_decode and cfg2.gpt.layers == 2
+
+
+@pytest.mark.ci_tier
+def test_from_artifacts_profile(tmp_path):
+    """`from_artifacts(profile='serving')` layers the fast-path flags onto
+    the saved config; 'stock' keeps it as saved; unknown names raise."""
+    from voice_tts_tpu.engine import TTSEngine
+    from voice_tts_tpu.utils.artifacts import save_artifacts
+    from tests.test_engine import _tiny_engine
+
+    engine = _tiny_engine()
+    out = tmp_path / "artifacts"
+    save_artifacts(str(out), engine.cfg, engine.params,
+                   {"w2v_mean": np.asarray(engine.w2v_mean),
+                    "w2v_std": np.asarray(engine.w2v_std)})
+
+    stock = TTSEngine.from_artifacts(str(out), profile="stock")
+    assert not stock.cfg.engine.use_fused_batch_decode
+
+    served = TTSEngine.from_artifacts(str(out), profile="serving")
+    assert served.cfg.engine.use_fused_batch_decode
+    assert served.cfg.engine.use_int8_decode
+    assert served.fused_pack is not None
+
+    with pytest.raises(ValueError, match="unknown profile"):
+        TTSEngine.from_artifacts(str(out), profile="turbo")

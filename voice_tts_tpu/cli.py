@@ -37,6 +37,12 @@ def main(argv=None):
                         help="overwrite output if it exists")
     parser.add_argument("-d", "--device", default=None,
                         help="jax platform override (cpu/tpu)")
+    parser.add_argument("--profile", default="serving",
+                        choices=["serving", "stock"],
+                        help="'serving' (default): measured-winner fast "
+                             "paths (int8 megakernel, fused beam, int8 KV, "
+                             "fused pipeline); 'stock': the artifact config "
+                             "exactly as saved")
     args = parser.parse_args(argv)
 
     import os
@@ -57,11 +63,15 @@ def main(argv=None):
     from voice_tts_tpu.text.emotion import create_emotion_vector
 
     if args.model_dir:
-        engine = TTSEngine.from_artifacts(args.model_dir)
+        engine = TTSEngine.from_artifacts(args.model_dir,
+                                          profile=args.profile)
     elif args.tiny:
         engine = TTSEngine.tiny()
     elif args.random:
-        engine = TTSEngine.random(TTSConfig())
+        cfg = TTSConfig()
+        if args.profile == "serving":
+            cfg.apply_serving_profile()
+        engine = TTSEngine.random(cfg)
     else:
         print("ERROR: pass --model-dir DIR (converted artifacts), or "
               "--random/--tiny for smoke tests", file=sys.stderr)

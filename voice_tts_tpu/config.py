@@ -469,6 +469,42 @@ class TTSConfig:
     def from_json(cls, text: str) -> "TTSConfig":
         return cls.from_dict(json.loads(text))
 
+    def apply_serving_profile(self) -> "TTSConfig":
+        """Enable the measured-winner fast paths for production serving
+        (mutates this config in place; returns self).
+
+        These are the round-3 committed A/B winners (`bench_results/r3/`,
+        STATUS.md): the int8 decode megakernel (the ONE real numerics
+        delta vs the f32 path — teacher-forced logit KL 4.2e-5/step,
+        `bench_results/r3/int4_quality.json`), merged grid stages (exact),
+        the batched megakernel for grouped serving (p50 5.08 s vs 7.61 s
+        at c16), the ancestor-table fused beam for the reference-default
+        num_beams=3 (RTF 0.1243 vs 0.2555 XLA), int8 KV for the production
+        long-context cap (max_mel_tokens=1500: long-form 0.0964 vs
+        beam/serving-neutral at short form), bf16 GPT compute (matching the
+        reference's fp16 autocast, `infer_v2.py:628`), and the fused
+        whole-segment pipeline on the sampling path.
+
+        Replaces the reference's deploy-time flag soup
+        (`server.py:446-482`, fp16/deepspeed/cuda_kernel argparse): one
+        profile, measured, on by default in `serving/app.py` and `cli.py`.
+        """
+        e = self.engine
+        e.use_fp16 = True
+        e.use_int8_decode = True
+        e.use_fused_decode = True
+        e.merge_decode_stages = 3
+        e.use_fused_batch_decode = True
+        e.use_fused_beam_decode = True
+        e.use_int8_kv = True
+        e.fuse_pipeline = True
+        return self
+
+    @classmethod
+    def serving(cls) -> "TTSConfig":
+        """Flagship config with the production serving profile applied."""
+        return cls().apply_serving_profile()
+
     @classmethod
     def tiny(cls) -> "TTSConfig":
         """A miniature config for unit tests / CI (single-core CPU friendly)."""

@@ -36,7 +36,7 @@ import numpy as np
 from voice_tts_tpu.config import GenerationConfig, GPTConfig
 from voice_tts_tpu.engine import post
 from voice_tts_tpu.models.gpt.decode import sample_token
-from voice_tts_tpu.models.gpt.unified_voice import UnifiedVoice
+from voice_tts_tpu.models.gpt.unified_voice import UnifiedVoice, n_cond_latents
 from voice_tts_tpu.ops.fused_decode import (BLOCK_T, apply_kv_update_q_rows,
                                             apply_kv_update_rows,
                                             cache_to_time_major,
@@ -96,7 +96,7 @@ def admit(params, model: UnifiedVoice, gen: GenerationConfig,
     bucket.  Samples the first code like `decode()`'s prefill epilogue."""
     cfg = model.cfg
     _, bl = text.shape
-    p = cfg.condition_num_latent + 2 + bl + 2
+    p = n_cond_latents(cfg) + 2 + bl + 2
     param_dtype = jax.tree.leaves(params)[0].dtype
     prompt, valid_p = model.apply(
         params, cond.astype(param_dtype), emo.astype(param_dtype), text,
@@ -237,7 +237,7 @@ class ContinuousBatcher:
         self.chunk_steps = chunk_steps
         self.max_new = self.gen.max_mel_tokens
         max_bucket = max(cfg.engine.text_buckets)
-        p_max = cfg.gpt.condition_num_latent + 2 + max_bucket + 2
+        p_max = n_cond_latents(cfg.gpt) + 2 + max_bucket + 2
         t_max = p_max + 1 + self.max_new
         t_max += (-t_max) % BLOCK_T
         self.t_max = t_max

@@ -170,6 +170,11 @@ class TTSEngine:
                         raise ValueError(
                             "spec_decode_k needs the int8 target pack; "
                             "unset use_int4_decode (int4 becomes the DRAFT)")
+                    if cfg.engine.use_int8_kv:
+                        raise ValueError(
+                            "spec_decode_k has no int8-KV support; unset "
+                            "use_int8_kv (the speculative verify kernel "
+                            "reads/writes the bf16 cache)")
                     from voice_tts_tpu.ops.fused_decode import pack_gpt_int4
                     self.spec_draft_pack = pack_gpt_int4(
                         params["gpt"], cfg.gpt.layers,
@@ -215,7 +220,7 @@ class TTSEngine:
             # stages; packs ride along with the param tree so every jitted
             # graph receives them as ARGUMENTS (closing over them would bake
             # the weights into the serialized HLO)
-            from voice_tts_tpu.ops.fused_vocoder import (fused_stage_plan,
+            from voice_tts_tpu.ops.attic.fused_vocoder import (fused_stage_plan,
                                                          pack_fused_stages)
             if any(fused_stage_plan(cfg.vocoder)):
                 packs = jax.jit(
@@ -236,14 +241,27 @@ class TTSEngine:
     # ------------------------------------------------------------------
 
     @classmethod
-    def from_artifacts(cls, directory: str) -> "TTSEngine":
+    def from_artifacts(cls, directory: str,
+                       profile: Optional[str] = None) -> "TTSEngine":
         """Load a converted model directory
-        (see `voice_tts_tpu.utils.artifacts`)."""
+        (see `voice_tts_tpu.utils.artifacts`).
+
+        `profile="serving"` applies the production fast-path profile
+        (`TTSConfig.apply_serving_profile`) on top of the artifact config —
+        the measured-winner megakernel/quantization flags the server and
+        CLI enable by default.  `None`/"stock" keeps the artifact config
+        as saved.
+        """
         from voice_tts_tpu.text import SentencePieceBPE, TextNormalizer
         from voice_tts_tpu.text.tokenizer import TextTokenizer
         from voice_tts_tpu.utils.artifacts import load_artifacts, split_matrix_groups
 
         cfg, params, extras, bpe_bytes = load_artifacts(directory)
+        if profile == "serving":
+            cfg.apply_serving_profile()
+        elif profile not in (None, "stock"):
+            raise ValueError(f"unknown profile {profile!r} "
+                             "(expected 'serving' or 'stock')")
         missing = [f for f in ("gpt", "s2mel", "vocoder", "campplus",
                                "repcodec", "w2v") if f not in params]
         if missing:
@@ -371,7 +389,8 @@ class TTSEngine:
             return jax.tree.map(put_arr, tree)
 
         for name in ("params", "params_gpt_rt", "params_s2mel_rt",
-                     "params_voc_rt", "fused_pack", "w2v_mean", "w2v_std"):
+                     "params_voc_rt", "fused_pack", "spec_draft_pack",
+                     "w2v_mean", "w2v_std"):
             setattr(self, name, put(getattr(self, name)))
         # frontend filter constants (mel basis, fbank windows, resampler
         # taps) are uncommitted arrays on the default device; without a
@@ -459,7 +478,7 @@ class TTSEngine:
             # whole-trunk DiT megakernel: packed per solve (NOT per step —
             # this sits outside the Euler scan), weights ride as traced
             # values derived from the s2_params argument
-            from voice_tts_tpu.ops.dit_blocks import (can_fuse_dit,
+            from voice_tts_tpu.ops.attic.dit_blocks import (can_fuse_dit,
                                                       pack_dit_blocks,
                                                       pack_dit_tables)
             dcfg = cfg.s2mel.dit
@@ -523,7 +542,7 @@ class TTSEngine:
                     bigvgan_shared_act_apply)
                 wav = bigvgan_shared_act_apply(voc_params, mel, cfg.vocoder)
             elif self._fused_voc:
-                from voice_tts_tpu.ops.fused_vocoder import bigvgan_fused_apply
+                from voice_tts_tpu.ops.attic.fused_vocoder import bigvgan_fused_apply
                 wav = bigvgan_fused_apply(voc_params["tree"],
                                           voc_params["packs"], mel,
                                           cfg.vocoder)
@@ -1083,7 +1102,9 @@ class TTSEngine:
             # fused decode wins even before batching
             results = []
             for i in range(len(jobs)):
-                sub_i = jax.random.fold_in(sub, i)
+                # single-job calls keep the historical RNG stream (sub
+                # directly); fold_in only differentiates true multi-job runs
+                sub_i = sub if len(jobs) == 1 else jax.random.fold_in(sub, i)
                 results.append(beam_decode(
                     self.params_gpt_rt, self.gpt, gen, cond[i:i + 1],
                     emo[i:i + 1], jnp.asarray(text[i:i + 1]),

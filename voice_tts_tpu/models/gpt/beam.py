@@ -34,7 +34,7 @@ from voice_tts_tpu.models.gpt.decode import (
     DecodeResult, apply_repetition_penalty, apply_top_k, apply_top_p,
     apply_typical,
 )
-from voice_tts_tpu.models.gpt.unified_voice import UnifiedVoice
+from voice_tts_tpu.models.gpt.unified_voice import UnifiedVoice, n_cond_latents
 from voice_tts_tpu.ops.fused_decode import (BLOCK_T as FUSED_BLOCK_T,
                                             FusedDecodePack,
                                             apply_kv_update_batch,
@@ -113,7 +113,7 @@ def beam_decode(params, model: UnifiedVoice, gen: GenerationConfig,
     use_fused = (fused_pack is not None and k <= 4
                  and not cfg.pallas_decode_attention)
     int8_kv = int8_kv and use_fused
-    p = cfg.condition_num_latent + 2 + bl + 2
+    p = n_cond_latents(cfg) + 2 + bl + 2
     t_max = p + 1 + max_new
     if cfg.pallas_decode_attention:
         t_max += (-t_max) % 512
@@ -246,11 +246,9 @@ def beam_decode(params, model: UnifiedVoice, gen: GenerationConfig,
                 state.src, jnp.arange(k, dtype=jnp.int32)[:, None],
                 (0, p + state.step))
             src = src[next_beams]
-        elif int8_kv:
-            cache = (jnp.take(state.cache[0], next_beams, axis=2),
-                     jnp.take(state.cache[1], next_beams, axis=1))
-            src = state.src
         else:
+            # int8_kv implies use_fused (forced above), so the XLA
+            # physical-reorder arm only ever sees the plain bf16 cache
             cache = jnp.take(state.cache, next_beams, axis=2)
             src = state.src
         return _BeamState(state.step + 1, tokens, next_scores, cache, src,

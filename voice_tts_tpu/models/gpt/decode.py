@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from voice_tts_tpu.config import GPTConfig, GenerationConfig
-from voice_tts_tpu.models.gpt.unified_voice import UnifiedVoice
+from voice_tts_tpu.models.gpt.unified_voice import UnifiedVoice, n_cond_latents
 from voice_tts_tpu.ops.fused_decode import (FusedDecodePack, apply_kv_update,
                                             apply_kv_update_batch,
                                             apply_kv_update_q,
@@ -185,7 +185,7 @@ def decode(params, model: UnifiedVoice, gen: GenerationConfig,
     int8_kv_xla = (int8_kv and not use_fused and not use_fused_b
                    and not cfg.pallas_decode_attention)
     int8_kv = int8_kv and (use_fused or use_fused_b)
-    p = cfg.condition_num_latent + 2 + bl + 2  # conds(34) + start/text/stop
+    p = n_cond_latents(cfg) + 2 + bl + 2  # conds(34) + start/text/stop
     t_max = p + 1 + max_new
     if cfg.pallas_decode_attention:
         t_max += (-t_max) % 512  # kernel block granularity
@@ -343,7 +343,7 @@ def spec_decode(params, model: UnifiedVoice, gen: GenerationConfig,
     assert b == 1, "speculative decode is the single-request latency path"
     kk = k_spec
     assert 2 <= kk <= 8
-    p = cfg.condition_num_latent + 2 + bl + 2
+    p = n_cond_latents(cfg) + 2 + bl + 2
     t_max = p + 1 + max_new + kk          # drafts may overhang max_new
     t_max += (-t_max) % FUSED_BLOCK_T
     vocab = cfg.number_mel_codes

@@ -29,6 +29,15 @@ from voice_tts_tpu.models.gpt.perceiver import PerceiverResampler
 from voice_tts_tpu.models.layers import Embedding, LayerNorm, Linear
 
 
+def n_cond_latents(cfg: GPTConfig) -> int:
+    """Speaker-conditioning latents in the decode prefix: the perceiver
+    branches emit `condition_num_latent`; the reference's functional default
+    arm mean-pools to a single latent (`model_v2.py:537-545`)."""
+    if cfg.condition_type in ("conformer_perceiver", "perceiver"):
+        return cfg.condition_num_latent
+    return 1
+
+
 class UnifiedVoice(nn.Module):
     cfg: GPTConfig
 
@@ -50,16 +59,26 @@ class UnifiedVoice(nn.Module):
             self.perceiver_encoder = PerceiverResampler(
                 dim=c.model_dim, dim_context=c.model_dim,
                 num_latents=c.condition_num_latent)
-        else:
-            # `gst` / `conformer_encoder` crash inside the reference itself
-            # (gst_encoder never constructed, `model_v2.py:530` vs `:349-366`;
-            # ConformerEncoder called with the wrong arity, `:533-541`), so
-            # no checkpoint can exist for them — see cond_encoder.py
+        elif c.condition_type in ("gst", "conformer_encoder"):
+            # these two crash inside the reference itself (gst_encoder never
+            # constructed, `model_v2.py:530` vs `:349-366`; ConformerEncoder
+            # called with the wrong arity in get_conditioning's else arm,
+            # `:533-541`), so no checkpoint can exist for them — see
+            # cond_encoder.py
             raise ValueError(
                 f"condition_type {c.condition_type!r} is not supported: the "
                 f"reference's own get_conditioning raises on this branch "
-                f"(model_v2.py:514-543); use 'conformer_perceiver' or "
-                f"'perceiver'")
+                f"(model_v2.py:514-543); use 'conformer_perceiver', "
+                f"'perceiver', or any other string (mean-pooled default "
+                f"encoder)")
+        else:
+            # the reference's functional default arm (`model_v2.py:366`):
+            # ANY other condition_type builds
+            # `ConditioningEncoder(1024, dim, num_attn_heads=heads,
+            # mean=True)` and get_conditioning mean-pools it to (B, 1, dim)
+            # (`model_v2.py:533-545`)
+            self.conditioning_encoder = AttentionConditioningEncoder(
+                dim=c.model_dim, num_heads=c.heads, mean=True)
         self.emo_conditioning_encoder = ConformerEncoder(em)
         self.emo_perceiver_encoder = PerceiverResampler(
             dim=c.emo_dim, dim_context=em.output_size, num_latents=1,
@@ -91,6 +110,12 @@ class UnifiedVoice(nn.Module):
             # reference `model_v2.py:515-519`: no length mask on this branch
             h = self.conditioning_encoder(spk_cond)
             return self.perceiver_encoder(h)
+        if self.cfg.condition_type != "conformer_perceiver":
+            # functional default arm (`model_v2.py:533-545`): mean-pooled
+            # ConditioningEncoder, stacked over a singleton conditioning-clip
+            # axis and averaged — with the standard (B, T, spec) input that
+            # reduces to one encoder call -> (B, dim) -> (B, 1, dim)
+            return self.conditioning_encoder(spk_cond)[:, None, :]
         h, mask = self.conditioning_encoder(spk_cond, lengths)
         conds_mask = jnp.concatenate(
             [jnp.ones((h.shape[0], self.cfg.condition_num_latent), dtype=bool),

@@ -65,7 +65,8 @@ class TTSService:
 
     # ------------------------------------------------------------------
     def load_engines(self, model_dir: Optional[str], workers: int,
-                     tiny: bool = False, continuous: bool = False):
+                     tiny: bool = False, continuous: bool = False,
+                     profile: str = "serving"):
         from voice_tts_tpu.config import TTSConfig
         from voice_tts_tpu.engine import TTSEngine
 
@@ -76,7 +77,10 @@ class TTSService:
 
         def factory(i: int):
             if model_dir:
-                engine = TTSEngine.from_artifacts(model_dir)
+                # the production profile (measured-winner fast paths) is the
+                # default — `--profile stock` serves the artifact config
+                # exactly as saved
+                engine = TTSEngine.from_artifacts(model_dir, profile=profile)
             elif tiny:
                 if continuous:
                     # the slot scheduler needs the megakernel pack
@@ -88,7 +92,10 @@ class TTSService:
                 else:
                     engine = TTSEngine.tiny()
             else:
-                engine = TTSEngine.random(TTSConfig())
+                cfg = TTSConfig()
+                if profile == "serving":
+                    cfg.apply_serving_profile()
+                engine = TTSEngine.random(cfg)
             if continuous:
                 engine.cfg.server.continuous_batching = True
             if len(devices) > 1:
@@ -267,7 +274,22 @@ class TTSService:
                     {"replica": i,
                      "device": (str(e.device) if e.device is not None
                                 else "default"),
-                     "tensor_parallel": e.cfg.engine.tensor_parallel}
+                     "tensor_parallel": e.cfg.engine.tensor_parallel,
+                     # the active fast-path flags, so operators can verify
+                     # which profile a replica actually serves (the round-3
+                     # verdict found the bench winners unreachable from the
+                     # server — this makes the served config observable)
+                     "engine_flags": {
+                         k: getattr(e.cfg.engine, k)
+                         for k in ("use_fp16", "use_int8_decode",
+                                   "use_fused_decode", "use_int4_decode",
+                                   "merge_decode_stages", "use_int8_kv",
+                                   "use_fused_batch_decode",
+                                   "use_fused_beam_decode", "fuse_pipeline",
+                                   "spec_decode_k")},
+                     "num_beams": e.cfg.generation.num_beams,
+                     "continuous_batching":
+                         e.cfg.server.continuous_batching}
                     for i, e in enumerate(self.engines)
                 ],
             })
@@ -365,7 +387,8 @@ async def amain(args):
 
     service = TTSService()
     service.load_engines(args.model_dir, args.workers, tiny=args.tiny,
-                         continuous=args.continuous_batching)
+                         continuous=args.continuous_batching,
+                         profile=args.profile)
     await service.start_workers()
     logger.info("serving on %s:%d", args.host, args.port)
 
@@ -403,6 +426,14 @@ def main():
     parser.add_argument("--model-dir", type=str, default=None)
     parser.add_argument("--tiny", action="store_true",
                         help="tiny random-weight engine (demo/testing)")
+    parser.add_argument("--profile", type=str, default="serving",
+                        choices=["serving", "stock"],
+                        help="engine profile: 'serving' (default) enables "
+                             "the measured-winner fast paths (int8 "
+                             "megakernel, fused batch/beam decode, int8 KV, "
+                             "fused pipeline — see "
+                             "TTSConfig.apply_serving_profile); 'stock' "
+                             "serves the artifact config exactly as saved")
     parser.add_argument("--continuous-batching", action="store_true",
                         help="slot-based continuous batching: requests join "
                              "a running decode batch mid-flight (requires "
