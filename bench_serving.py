@@ -28,6 +28,12 @@ def main():
                         "joins the running decode batch instead of waiting "
                         "out the current group")
     parser.add_argument("--tiny", action="store_true")
+    parser.add_argument("--unique-speakers", action="store_true",
+                        help="every request brings a DISTINCT speaker "
+                             "prompt (conditioning cache-miss per request "
+                             "— the fleet-realistic workload; the default "
+                             "cycles 3 prompts so most requests hit the "
+                             "cache)")
     args = parser.parse_args()
 
     import jax
@@ -108,8 +114,16 @@ def main():
         worker = threading.Thread(target=batcher, daemon=True)
         worker.start()
 
+    unique_prompts = None
+    if args.unique_speakers:
+        from bench import _unique_prompt
+
+        unique_prompts = [_unique_prompt(i) for i in range(args.requests)]
+
     def one_request(i):
-        req = {"spk_audio_prompt": prompts[i % 3], "text": texts[i % 3]}
+        spk = (unique_prompts[i] if unique_prompts is not None
+               else prompts[i % 3])
+        req = {"spk_audio_prompt": spk, "text": texts[i % 3]}
         t0 = time.perf_counter()
         if continuous:
             holder, ev = cont_batcher.submit(req)
@@ -157,6 +171,7 @@ def main():
             "wall_s": round(wall, 3),
             "audio_seconds": round(audio_total[0], 2),
             "aggregate_rtf": round(wall / max(audio_total[0], 1e-9), 4),
+            "unique_speakers": bool(args.unique_speakers),
         },
     }
     print(json.dumps(result))
