@@ -375,3 +375,63 @@ def test_convert_flagship_dims_gpt(tmp_path):
         method=UnifiedVoice.get_conditioning))
     assert ours.shape == ref_cond.shape == (1, 32, cfg.model_dim)
     np.testing.assert_allclose(ours, ref_cond, atol=5e-4, rtol=1e-3)
+
+
+def test_quality_gate_on_params_tree():
+    """`utils/quality_gate.run_quality_gate` (the onboarding chain's step 5)
+    runs on an arbitrary UnifiedVoice params tree: int8 teacher-forced KL is
+    tiny; the schemes are ranked int8 << int4 variants."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from voice_tts_tpu.config import TTSConfig
+    from voice_tts_tpu.models.gpt.unified_voice import UnifiedVoice
+    from voice_tts_tpu.utils.quality_gate import run_quality_gate
+
+    cfg = TTSConfig.tiny().gpt
+    model = UnifiedVoice(cfg)
+    params = jax.jit(functools.partial(
+        model.init, method=UnifiedVoice.init_all))(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 6, cfg.condition_module.input_size)),
+        jnp.zeros((1, 6, cfg.emo_condition_module.input_size)),
+        jnp.ones((1, 8), jnp.int32), jnp.asarray([8]),
+        jnp.zeros((1, 6), jnp.int32), jnp.asarray([6]))
+
+    res = run_quality_gate(cfg, params, steps=4, prompts=1, interpret=True)
+    tf = res["teacher_forced"]
+    assert set(tf) == {"int8", "int4", "int4_i8sh", "int4_gwide"}
+    for row in tf.values():
+        assert np.isfinite(row["kl_mean"]) and row["kl_mean"] >= 0
+    # int8 must be (much) closer to the bf16 trajectory than int4
+    assert tf["int8"]["kl_mean"] <= tf["int4"]["kl_mean"]
+    # i8sh is the same quantization as g128 int4 — bit-identical logits
+    assert tf["int4_i8sh"]["kl_mean"] == tf["int4"]["kl_mean"]
+    assert len(res["free_running"]) == 1
+
+
+def test_onboard_bench_step_from_artifacts(tmp_path):
+    """The onboarding chain's final step (serving-profile engine from the
+    written artifacts + warm RTF) works on a saved artifact dir."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_engine import _tiny_engine
+
+    from voice_tts_tpu.engine import TTSEngine
+
+    engine = _tiny_engine()
+    save_artifacts(str(tmp_path), engine.cfg, engine.params,
+                   {"w2v_mean": np.asarray(engine.w2v_mean),
+                    "w2v_std": np.asarray(engine.w2v_std)})
+    served = TTSEngine.from_artifacts(str(tmp_path), profile="serving")
+    assert served.fused_pack is not None
+
+    from voice_tts_tpu.audio import encode_wav_int16
+    sr = served.cfg.engine.sample_rate
+    t = np.arange(int(0.4 * sr)) / sr
+    prompt = encode_wav_int16(
+        (0.4 * np.sin(2 * np.pi * 220 * t)) * 32767, sr)
+    res = served.infer(prompt, "hello onboard.", None)
+    assert len(res.wav) > 0 and res.metrics["rtf"] > 0
