@@ -109,6 +109,10 @@ def build_engine(tiny: bool):
         os.environ.get("FUSED_BEAM", "0") == "1")
     if os.environ.get("BEAMS"):
         cfg.generation.num_beams = int(os.environ["BEAMS"])
+    # CFM Euler-scan unroll A/B (CFM_UNROLL=5: 5 steps per compiled loop
+    # body, exact numerics)
+    if os.environ.get("CFM_UNROLL"):
+        cfg.engine.cfm_unroll = int(os.environ["CFM_UNROLL"])
     # bf16 s2mel/DiT compute (f32 softmax/LN stats); measured perf-neutral
     # at bench shapes (DiT is op-overhead-bound, not MXU-bound) — default off
     # to keep the reference's fp32 s2mel numerics

@@ -20,7 +20,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from voice_tts_tpu.config import TTSConfig  # noqa: E402
 from voice_tts_tpu.models.s2mel.cfm import cfm_inference  # noqa: E402
 from voice_tts_tpu.models.s2mel.dit import DiT  # noqa: E402
-from voice_tts_tpu.ops.dit_blocks import (pack_dit_blocks,  # noqa: E402
+from voice_tts_tpu.ops.attic.dit_blocks import (pack_dit_blocks,  # noqa: E402
                                           pack_dit_tables)
 
 

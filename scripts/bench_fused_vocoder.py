@@ -15,7 +15,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from voice_tts_tpu.config import TTSConfig  # noqa: E402
 from voice_tts_tpu.models.vocoder import BigVGAN  # noqa: E402
-from voice_tts_tpu.ops.fused_vocoder import (  # noqa: E402
+from voice_tts_tpu.ops.attic.fused_vocoder import (  # noqa: E402
     bigvgan_fused_apply, fused_stage_plan, pack_fused_stages)
 
 

@@ -106,14 +106,14 @@ def aa_snake_case(c, t):
 
 
 def cfm_attention_case():
-    from voice_tts_tpu.ops.cfm_attention import cfm_attention
+    from voice_tts_tpu.ops.attic.cfm_attention import cfm_attention
     fn = jax.jit(lambda q, k, v, lens: cfm_attention(q, k, v, lens, HD ** -0.5))
     a = S((2, DIT_H, 704, DIT_D // DIT_H), jnp.float32)
     return fn.lower(a, a, a, S((2,), jnp.int32))
 
 
 def dit_chain_case():
-    from voice_tts_tpu.ops.dit_blocks import dit_block_chain
+    from voice_tts_tpu.ops.attic.dit_blocks import dit_block_chain
     hd = DIT_D // DIT_H
     fn = jax.jit(lambda x, w, wb, c, s, p, ln: dit_block_chain(
         x, w, wb, c, s, p, ln, DIT_H))
@@ -125,7 +125,7 @@ def dit_chain_case():
 
 
 def fused_vocoder_case(c, t, k_max=11, tt=None):
-    from voice_tts_tpu.ops.fused_vocoder import (StagePack,
+    from voice_tts_tpu.ops.attic.fused_vocoder import (StagePack,
                                                  _tt_for_channels,
                                                  fused_resblock_stage)
     pack = StagePack(w=S((18, k_max, c, c), jnp.float32),
@@ -193,17 +193,31 @@ def cases():
         "aa_snake_c24": lambda: aa_snake_case(24, 114688),
         "cfm_attention": cfm_attention_case,
         "dit_block_chain": dit_chain_case,
-        # default chunk widths (2048/4096) exceed the compile budget —
-        # kept as the known-fail record; narrower chunks are the fix
-        "fused_vocoder_c192": lambda: fused_vocoder_case(192, 14336),
-        "fused_vocoder_c96": lambda: fused_vocoder_case(96, 28672),
-        "fused_vocoder_c192_tt512": lambda: fused_vocoder_case(
-            192, 14336, tt=512),
-        "fused_vocoder_c96_tt1024": lambda: fused_vocoder_case(
-            96, 28672, tt=1024),
         "int8_gemv": int8_gemv_case,
     }
     return out
+
+
+# Known-infeasible attic kernels, excluded from the live gate with the
+# evidence recorded (VERDICT r3 item 9).  Reported in COMPILE_GATE.json
+# under "skipped_cases" so the record stays visible; run one explicitly
+# with --only <name> --include-skipped.
+SKIP = {
+    # ops/attic/fused_vocoder.py: the stage kernel's per-sample lane rolls
+    # unroll to ~2000 Mosaic ops — compile exceeds the 420 s budget at EVERY
+    # tested tile width (tt=512..4096, measured round 3).  Default off
+    # (EngineConfig.use_fused_vocoder); module demoted to ops/attic/.
+    "fused_vocoder_c192": lambda: fused_vocoder_case(192, 14336),
+    "fused_vocoder_c96": lambda: fused_vocoder_case(96, 28672),
+    "fused_vocoder_c192_tt512": lambda: fused_vocoder_case(192, 14336,
+                                                           tt=512),
+    "fused_vocoder_c96_tt1024": lambda: fused_vocoder_case(96, 28672,
+                                                           tt=1024),
+}
+
+SKIP_REASON = ("Mosaic compile exceeds the 420s budget at every tested tile "
+               "width (~2000 unrolled lane-roll ops); known-infeasible, "
+               "default off, module in ops/attic/")
 
 
 def run_one(name: str) -> int:
@@ -211,7 +225,7 @@ def run_one(name: str) -> int:
     timeout — a Mosaic compile cannot be interrupted in-process, and a
     pathological case must not wedge the whole gate)."""
     try:
-        cases()[name]().compile()
+        {**cases(), **SKIP}[name]().compile()
         return 0
     except Exception as e:  # noqa: BLE001 — report via a parseable line
         print(f"GATE_ERROR {type(e).__name__}: {e}"[:600].replace("\n", " "))
@@ -228,10 +242,18 @@ def main():
     ap.add_argument("--case", default=None, help="(internal) child mode")
     ap.add_argument("--timeout", type=float, default=420.0,
                     help="per-case compile budget, seconds")
+    ap.add_argument("--include-skipped", action="store_true",
+                    help="also compile the known-infeasible SKIP cases")
     args = ap.parse_args()
 
     if args.case:
         return run_one(args.case)
+
+    def all_cases():
+        c = dict(cases())
+        if args.include_skipped:
+            c.update(SKIP)
+        return c
 
     backend = jax.default_backend()
     results = {"backend": backend, "jax": jax.__version__,
@@ -243,8 +265,10 @@ def main():
             json.dump(results, f, indent=1)
         return 1
 
+    results["skipped_cases"] = {name: SKIP_REASON for name in SKIP
+                                if not args.include_skipped}
     n_fail = 0
-    for name in cases():
+    for name in all_cases():
         if args.only and args.only not in name:
             continue
         t0 = time.time()

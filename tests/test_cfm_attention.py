@@ -6,7 +6,7 @@ import pytest
 jnp = pytest.importorskip("jax.numpy")
 import jax
 
-from voice_tts_tpu.ops.cfm_attention import cfm_attention
+from voice_tts_tpu.ops.attic.cfm_attention import cfm_attention
 
 
 def _einsum_ref(q, k, v, lens, scale):

@@ -7,7 +7,7 @@ import pytest
 
 from voice_tts_tpu.config import DiTConfig, WaveNetConfig
 from voice_tts_tpu.models.s2mel.dit import DiT, rope_cache
-from voice_tts_tpu.ops.dit_blocks import (dit_block_chain, pack_dit_blocks,
+from voice_tts_tpu.ops.attic.dit_blocks import (dit_block_chain, pack_dit_blocks,
                                           pack_dit_tables, rope_tables)
 
 # hidden_dim must satisfy find_multiple(8D/3, 256) == 3D (the kernel's

@@ -9,7 +9,7 @@ import jax
 from voice_tts_tpu.config import BigVGANConfig
 from voice_tts_tpu.models.vocoder import BigVGAN
 from voice_tts_tpu.models.vocoder.bigvgan import AMPBlock1
-from voice_tts_tpu.ops.fused_vocoder import (
+from voice_tts_tpu.ops.attic.fused_vocoder import (
     bigvgan_fused_apply, fused_resblock_stage, fused_stage_plan,
     pack_fused_stages, pack_stage,
 )
@@ -82,7 +82,7 @@ def test_fused_full_model_parity():
            * 0.3).astype(jnp.float32)
     ref = np.asarray(model.apply(params, mel))
 
-    import voice_tts_tpu.ops.fused_vocoder as fv
+    import voice_tts_tpu.ops.attic.fused_vocoder as fv
     assert fused_stage_plan(CFG) == [True, True]
     packs = pack_fused_stages(params, CFG)
     orig = fv._tt_for_channels

@@ -402,6 +402,11 @@ class EngineConfig:
     # (reference `infer_v2.py` segments are <=120 text tokens) — 8 gives
     # >=3x margin so cap-hit retries stay rare
     codes_per_text_token: float = 8.0
+    # Euler steps per compiled CFM scan-loop body (lax.scan unroll):
+    # identical numerics (steps stay sequential); >1 lets XLA schedule
+    # across step boundaries and amortizes loop overhead on the
+    # op-overhead-bound DiT eval.  A/B per hardware via CFM_UNROLL
+    cfm_unroll: int = 1
     # batch a multi-segment `infer` call's segments through the same
     # sub-batched decode/synthesis machinery as `infer_batch` (decode wall
     # ~ longest segment instead of the sum; weights amortize across rows).

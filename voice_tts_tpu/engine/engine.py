@@ -511,7 +511,8 @@ class TTSEngine:
             mel = cfm_inference(dit_apply, s2_params, cat, total_len, prompt_x,
                                 prompt_len, style, rng,
                                 n_steps,
-                                cfg.engine.inference_cfg_rate, tables=tables)
+                                cfg.engine.inference_cfg_rate, tables=tables,
+                                unroll=cfg.engine.cfm_unroll)
             gen = slice_generated(mel, prompt_len, mel_bucket)
             # zero the bucket tail: frames past target_len still hold CFM
             # noise (the velocity is masked there), and the vocoder's first

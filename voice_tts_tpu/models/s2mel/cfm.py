@@ -19,7 +19,7 @@ def cfm_inference(dit_apply, params, mu: jnp.ndarray, x_len: jnp.ndarray,
                   style: jnp.ndarray, rng: Optional[jax.Array], n_steps: int,
                   cfg_rate: float, temperature: float = 1.0,
                   noise: Optional[jnp.ndarray] = None,
-                  tables=None) -> jnp.ndarray:
+                  tables=None, unroll: int = 1) -> jnp.ndarray:
     """mu (B, T, D) regulated condition; prompt (B, 80, T) mel with the
     reference mel placed at [:prompt_len] (already zero elsewhere);
     x_len (B,) total valid frames.  Returns mel (B, 80, T).
@@ -64,5 +64,10 @@ def cfm_inference(dit_apply, params, mu: jnp.ndarray, x_len: jnp.ndarray,
         x = jnp.where(prompt_mask, 0.0, x)
         return x, None
 
-    x, _ = jax.lax.scan(step, x, (jnp.arange(n_steps), tables))
+    # `unroll>1` places several Euler steps in one compiled loop body —
+    # identical numerics (the steps stay strictly sequential), but XLA
+    # schedules across step boundaries and the per-iteration loop
+    # overhead amortizes (EngineConfig.cfm_unroll; A/B via CFM_UNROLL)
+    x, _ = jax.lax.scan(step, x, (jnp.arange(n_steps), tables),
+                        unroll=min(unroll, n_steps) if unroll > 1 else 1)
     return x

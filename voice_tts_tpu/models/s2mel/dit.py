@@ -112,7 +112,7 @@ class DiTBlock(nn.Module):
                 and jax.default_backend() == "tpu"):
             # whole-sequence VMEM attention: zero HBM score traffic (the
             # einsum path's f32 score tensor is the dominant CFM-step cost)
-            from voice_tts_tpu.ops.cfm_attention import cfm_attention
+            from voice_tts_tpu.ops.attic.cfm_attention import cfm_attention
 
             out = cfm_attention(jnp.transpose(q, (0, 2, 1, 3)),
                                 jnp.transpose(k, (0, 2, 1, 3)),
@@ -289,7 +289,7 @@ class DiT(nn.Module):
                                        c.rope_base))
         c_emb = t1[:, None, :]
         if fused_w is not None and tables is not None and "fused_wb" in tables:
-            from voice_tts_tpu.ops.dit_blocks import (dit_block_chain,
+            from voice_tts_tpu.ops.attic.dit_blocks import (dit_block_chain,
                                                       rope_tables)
 
             cos, sin, perm = rope_tables(tlen, c.hidden_dim // c.num_heads,
