@@ -510,3 +510,28 @@ def test_beam_batch_matches_single():
                                       np.asarray(single.codes[0]))
         assert int(batched.lengths[i]) == int(single.lengths[0])
         assert bool(batched.hit_limit[i]) == bool(single.hit_limit[0])
+
+
+def test_warp_candidate_space_matches_full_vocab():
+    """`beam.warp_candidate_space` scattered back over a float-min canvas
+    must reproduce the full-vocab warper chain apply_top_p(apply_top_k(s))
+    exactly — the beam sampling refactor that removes the per-step
+    full-vocab argsort rests on this identity."""
+    import jax
+    import jax.numpy as jnp
+
+    from voice_tts_tpu.models.gpt.beam import warp_candidate_space
+    from voice_tts_tpu.models.gpt.decode import apply_top_k, apply_top_p
+
+    rng = np.random.default_rng(3)
+    for k_beams, tk, tp, v in [(3, 30, 0.8, 512), (3, 4, 0.9, 97),
+                               (2, 0, 0.5, 64), (4, 30, 1.0, 256),
+                               (3, 2, 0.8, 128)]:  # tk < 2K: rank padding
+        s = jnp.asarray(rng.normal(size=(k_beams, v)).astype(np.float32) * 3)
+        ref = apply_top_p(apply_top_k(s, tk), tp)
+        top_vals, top_idx = warp_candidate_space(s, tk, tp, n_keep=2 * k_beams)
+        fmin = jnp.finfo(jnp.float32).min
+        got = jnp.full((k_beams, v), fmin)
+        got = got.at[jnp.arange(k_beams)[:, None], top_idx].max(top_vals)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
+                                      err_msg=f"k={k_beams} tk={tk} tp={tp}")

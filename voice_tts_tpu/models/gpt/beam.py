@@ -74,6 +74,39 @@ def _process_scores(logprobs, presence, gen: GenerationConfig):
     return s
 
 
+def warp_candidate_space(s: jnp.ndarray, top_k: int, top_p: float,
+                         n_keep: int):
+    """Sort-free top-k/top-p warping in per-row top-nk candidate space.
+
+    `s` (K, V) processed scores.  Returns (top_vals (K, nk) descending with
+    warper-removed lanes at float-min, top_idx (K, nk) vocab ids),
+    nk = max(top_k, n_keep).  Scattering `top_vals` back over a float-min
+    (K, V) canvas reproduces `apply_top_p(apply_top_k(s))` EXACTLY (modulo
+    value ties): apply_top_k masks to float-min, and apply_top_p's
+    ascending "remove while cumulative <= 1-p" equals descending "remove
+    rank j when cumulative-before-j >= p" (`decode.sample_token`'s trick) —
+    with no full-vocab argsort, the dominant non-trunk beam-step cost.
+    """
+    vocab = s.shape[-1]
+    tk = min(top_k if top_k > 0 else vocab, vocab)
+    nk = min(max(tk, n_keep), vocab)
+    top_vals, top_idx = jax.lax.top_k(s, nk)          # (K, nk) descending
+    fmin = jnp.finfo(top_vals.dtype).min
+    if nk > tk:
+        # mirror apply_top_k's masking for ranks past the warper's k (they
+        # stay selectable at float-min, exactly like the full-vocab path)
+        rank = jnp.arange(nk)[None, :]
+        top_vals = jnp.where(rank >= tk, fmin, top_vals)
+    if top_p < 1.0:
+        # softmax over the kept entries == softmax over the full warped row
+        # (masked lanes contribute exp(min) ~ 0 in both)
+        probs = jax.nn.softmax(top_vals, axis=-1)
+        before = jnp.cumsum(probs, axis=-1) - probs
+        keep_first = jnp.arange(nk)[None, :] == 0     # min_tokens_to_keep=1
+        top_vals = jnp.where((before >= top_p) & ~keep_first, fmin, top_vals)
+    return top_vals, top_idx
+
+
 def _length_penalize(sum_logprobs, length, length_penalty: float):
     if length_penalty == 0.0:
         return sum_logprobs
@@ -154,24 +187,63 @@ def beam_decode(params, model: UnifiedVoice, gen: GenerationConfig,
     beam_scores0 = jnp.full((k,), NEG, dtype=jnp.float32).at[0].set(0.0)
 
     def candidates(logits, presence, beam_scores, rng):
+        """2K sorted candidates, computed in per-beam top-k CANDIDATE SPACE.
+
+        The naive pipeline (`_process_scores` + flat ops over (K, V)) pays a
+        full-vocab argsort per step inside `apply_top_p` — the dominant
+        non-trunk beam-step cost on TPU (sorts are serial-ish on the VPU).
+        Same trick as `decode.sample_token`: everything the warpers keep
+        lives inside each beam's descending top-nk entries, so top-p's
+        "remove while ascending-cumulative <= 1-p" becomes "remove rank j
+        when cumulative-before-j >= p" with NO sort, and the Gumbel /
+        selection ops shrink from K*V to K*nk lanes.  Distribution and
+        selected sets are exactly the full-vocab pipeline's (masked entries
+        sit at float-min in both and cannot win); only the RNG lane layout
+        differs.  The (rare, opt-in) typical-sampling path keeps the
+        full-vocab pipeline.
+        """
         logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        processed = _process_scores(logprobs, presence, gen)
-        scores = processed + beam_scores[:, None]
-        flat = scores.reshape(-1)
         n_keep = 2 * k
-        if gen.do_sample:
-            # multinomial without replacement == Gumbel top-k on log-probs
-            flat_lp = jax.nn.log_softmax(flat)
-            g = flat_lp - jnp.log(-jnp.log(
-                jax.random.uniform(rng, flat.shape, minval=1e-20, maxval=1.0)))
-            _, idx = jax.lax.top_k(g, n_keep)
-            cand_scores = flat[idx]
-            order = jnp.argsort(-cand_scores)
-            idx = idx[order]
-            cand_scores = cand_scores[order]
-        else:
-            cand_scores, idx = jax.lax.top_k(flat, n_keep)
-        return cand_scores, idx // vocab, idx % vocab
+        if gen.typical_sampling or not gen.do_sample:
+            processed = _process_scores(logprobs, presence, gen)
+            scores = processed + beam_scores[:, None]
+            flat = scores.reshape(-1)
+            if gen.do_sample:
+                # multinomial without replacement == Gumbel top-k on log-probs
+                flat_lp = jax.nn.log_softmax(flat)
+                g = flat_lp - jnp.log(-jnp.log(jax.random.uniform(
+                    rng, flat.shape, minval=1e-20, maxval=1.0)))
+                _, idx = jax.lax.top_k(g, n_keep)
+                cand_scores = flat[idx]
+                order = jnp.argsort(-cand_scores)
+                idx = idx[order]
+                cand_scores = cand_scores[order]
+            else:
+                cand_scores, idx = jax.lax.top_k(flat, n_keep)
+            return cand_scores, idx // vocab, idx % vocab
+
+        s = apply_repetition_penalty(logprobs, presence,
+                                     gen.repetition_penalty)
+        if gen.temperature != 1.0:
+            s = s / gen.temperature
+        top_vals, top_idx = warp_candidate_space(s, gen.top_k, gen.top_p,
+                                                 n_keep)
+        cand = top_vals + beam_scores[:, None]            # (K, nk)
+        nk = top_vals.shape[-1]
+        flat = cand.reshape(-1)
+        # log_softmax over the candidate space == over the (K*V,) flat row:
+        # every excluded entry is at float-min there too and adds ~0 mass
+        flat_lp = jax.nn.log_softmax(flat)
+        g = flat_lp - jnp.log(-jnp.log(jax.random.uniform(
+            rng, flat.shape, minval=1e-20, maxval=1.0)))
+        _, idx = jax.lax.top_k(g, n_keep)
+        cand_scores = flat[idx]
+        order = jnp.argsort(-cand_scores)
+        idx = idx[order]
+        cand_scores = cand_scores[order]
+        beams = idx // nk
+        tokens = top_idx[beams, idx % nk]
+        return cand_scores, beams, tokens
 
     def scorer_step(state: _BeamState, cand_scores, cand_beams, cand_tokens):
         """BeamSearchScorer.process equivalent over 2K sorted candidates."""
