@@ -56,8 +56,10 @@ std::string zh_integer(long long num) {
             if (!drop_yi) text += kZhDigits[d];
             text += kZhUnits[unit_pos];
         }
-        if (!body.empty() && gi + 1 < n_groups && groups[gi + 1] != 0
-            && g < 1000) {
+        // linking 零 between groups: needed when the group has leading
+        // zeros (10,000,200 -> 一千万零二百) OR an entire higher group was
+        // skipped (100,000,001 -> 一亿零一)
+        if (!body.empty() && (g < 1000 || groups[gi + 1] == 0)) {
             text = std::string(kZhDigits[0]) + text;
         }
         body += text + kZhGroups[gi];

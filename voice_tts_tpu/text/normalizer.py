@@ -96,8 +96,10 @@ def zh_read_integer(num: int) -> str:
                     and g < 20):
                 text += _ZH_DIGITS[d]
             text += _ZH_UNITS[pos]
-        # leading zero between groups (e.g. 10000200 -> ...万零二百)
-        if parts and groups[gi + 1] != 0 and g < 1000:
+        # linking 零 between groups: needed when the group has leading zeros
+        # (10000200 -> 一千万零二百) OR a whole higher group was skipped
+        # (100000001 -> 一亿零一)
+        if parts and (g < 1000 or groups[gi + 1] == 0):
             text = "零" + text
         parts.append(text + _ZH_GROUPS[gi])
     return "".join(parts)
@@ -174,6 +176,10 @@ def _zh_verbalize(text: str) -> str:
         return (zh_read_digits(y) + "年" + zh_read_integer(mo) + "月"
                 + zh_read_integer(d) + "日")
 
+    # date spans: 3月5日-8日 / 2024年3月5日~8日 — rewrite the dash to 至 so
+    # the endpoint day reads as a date, not a stray number (WeTextProcessing
+    # date-range tagger)
+    text = re.sub(r"([日号])[-~—](?=\d{1,2}[日号])", r"\g<1>至", text)
     text = re.sub(r"(\d{4})年(\d{1,2})月(\d{1,2})[日号]", date_ymd, text)
     text = re.sub(r"(\d{4})[/.-](\d{1,2})[/.-](\d{1,2})(?!\d)",
                   lambda m: date_ymd(m), text)
@@ -182,13 +188,22 @@ def _zh_verbalize(text: str) -> str:
                   + zh_read_digits(m.group(2)) + "年", text)
     text = re.sub(r"(\d{4})年",
                   lambda m: zh_read_digits(m.group(1)) + "年", text)
+    # 2-digit years read digit-wise when they are clearly years: followed
+    # by a month (09年3月 -> 零九年三月) or leading-zero (05年 -> 零五年)
+    text = re.sub(r"(?<![\d.])(\d{2})年(?=\d{1,2}月)",
+                  lambda m: zh_read_digits(m.group(1)) + "年", text)
+    text = re.sub(r"(?<![\d.])(0\d)年",
+                  lambda m: zh_read_digits(m.group(1)) + "年", text)
     # month-day without a year (WeTextProcessing date class)
     text = re.sub(r"(?<![\d.])(\d{1,2})月(\d{1,2})([日号])",
                   lambda m: zh_read_integer(int(m.group(1))) + "月"
                   + zh_read_integer(int(m.group(2))) + m.group(3), text)
-    # decades / cohorts: 80年代 -> 八零年代, 90后 -> 九零后
-    text = re.sub(r"(?<!\d)(\d0)(年代|后)(?!\d)",
-                  lambda m: zh_read_digits(m.group(1)) + m.group(2), text)
+    # cohorts digit-wise (90后 -> 九零后); decades cardinal (90年代 ->
+    # 九十年代 — the standard mainland reading, 二十世纪九十年代)
+    text = re.sub(r"(?<!\d)(\d0)后(?!\d)",
+                  lambda m: zh_read_digits(m.group(1)) + "后", text)
+    text = re.sub(r"(?<!\d)(\d0)年代(?!\d)",
+                  lambda m: zh_read_integer(int(m.group(1))) + "年代", text)
 
     # IP addresses / multi-dot versions BEFORE times and plain numbers:
     # 192.168.1.1 -> digit-wise with 点 (WeTextProcessing digit class)
@@ -205,9 +220,11 @@ def _zh_verbalize(text: str) -> str:
         h, mi = int(m.group(1)), int(m.group(2))
         out = zh_read_integer(h) + "点"
         if mi:
-            out += zh_read_integer(mi) + "分"
+            # leading zero is read: 8:05 -> 八点零五分 (WeTextProcessing)
+            out += ("零" if mi < 10 else "") + zh_read_integer(mi) + "分"
         if m.group(3):
-            out += zh_read_integer(int(m.group(3))) + "秒"
+            s = int(m.group(3))
+            out += ("零" if 0 < s < 10 else "") + zh_read_integer(s) + "秒"
         return out
 
     time_pat = r"([01]?\d|2[0-3]):([0-5]\d)(?::([0-5]\d))?"
@@ -227,6 +244,12 @@ def _zh_verbalize(text: str) -> str:
         return zh_read_digits(re.sub(r"\D", "", m.group(0))).replace("一", "幺")
 
     text = re.sub(r"\d{3,4}-\d{3,4}-\d{3,4}", phone, text)
+    # service/hotline numbers after a dialing cue read digit-wise with 幺:
+    # 拨打12306 -> 拨打幺二三零六 (WeTextProcessing telephone tagger)
+    text = re.sub(r"(拨打|致电|热线|客服电话|报警电话|服务电话)\s*(\d{3,8})"
+                  r"(?!\d)",
+                  lambda m: m.group(1)
+                  + zh_read_digits(m.group(2)).replace("一", "幺"), text)
     text = re.sub(r"(?<![\d-])0\d{2,3}-\d{7,8}(?![\d-])", phone, text)  # landline
     text = re.sub(r"(?<!\d)1[3-9]\d{9}(?!\d)", phone, text)  # bare mobile no.
     # 18-digit ID numbers (optional trailing X): digit-wise, 1 reads 幺
@@ -264,6 +287,11 @@ def _zh_verbalize(text: str) -> str:
 
     text = re.sub(r"(?<![\d.-])(\d{1,4}(?:\.\d+)?)[-~](\d{1,4}(?:\.\d+)?)"
                   r"(?![\d.-])", rng, text)
+    # negative ranges: -5~-3 -> 负五到负三 (both endpoints signed)
+    text = re.sub(r"(?<![\d.\w-])-(\d{1,4}(?:\.\d+)?)[-~]-"
+                  r"(\d{1,4}(?:\.\d+)?)(?![\d.-])",
+                  lambda m: "负" + zh_read_number(m.group(1)) + "到负"
+                  + zh_read_number(m.group(2)), text)
 
     # measure units (WeTextProcessing measure class, common subset)
     units = {"km": "千米", "kg": "千克", "cm": "厘米", "mm": "毫米",
@@ -285,11 +313,14 @@ def _zh_verbalize(text: str) -> str:
                   lambda m: zh_read_number(m.group(1)) + units[m.group(2)],
                   text)
 
-    # percent / permille / currency
-    text = re.sub(r"(-?\d+(?:\.\d+)?)%",
-                  lambda m: "百分之" + zh_read_number(m.group(1)), text)
-    text = re.sub(r"(-?\d+(?:\.\d+)?)‰",
-                  lambda m: "千分之" + zh_read_number(m.group(1)), text)
+    # percent / permille / currency (sign reads OUTSIDE the fraction:
+    # -0.25% -> 负百分之零点二五, WeTextProcessing percent tagger)
+    def pct(prefix):
+        return lambda m: (("负" if m.group(1) else "") + prefix
+                          + zh_read_number(m.group(2)))
+
+    text = re.sub(r"(-)?(\d+(?:\.\d+)?)%", pct("百分之"), text)
+    text = re.sub(r"(-)?(\d+(?:\.\d+)?)‰", pct("千分之"), text)
     cur = {"¥": "元", "￥": "元", "$": "美元", "€": "欧元", "£": "英镑",
            "₩": "韩元", "HK$": "港元"}
     cur_pat = "|".join(re.escape(c) for c in
