@@ -109,6 +109,10 @@ def build_engine(tiny: bool):
         os.environ.get("FUSED_BEAM", "0") == "1")
     if os.environ.get("BEAMS"):
         cfg.generation.num_beams = int(os.environ["BEAMS"])
+    # bf16 conditioning encoders A/B (COND_BF16=1): the cold-prompt
+    # w2v-bert(17)+RepCodec+CAMPPlus forward at MXU rate
+    cfg.engine.use_bf16_conditioning = (
+        os.environ.get("COND_BF16", "0") == "1")
     # CFM Euler-scan unroll A/B (CFM_UNROLL=5: 5 steps per compiled loop
     # body, exact numerics)
     if os.environ.get("CFM_UNROLL"):

@@ -319,3 +319,28 @@ def test_engine_infer_batch():
     # batch result for the shared prompt must match single-path determinism
     # in shape terms (same prompt cache reused)
     assert len(engine._spk_cache) == 2
+
+
+def test_bf16_conditioning_close_to_f32():
+    """`use_bf16_conditioning` (cold-prompt MXU-rate conditioning) stays
+    within bf16 tolerance of the f32 conditioning outputs and runs e2e."""
+    import numpy as np
+
+    from voice_tts_tpu.audio import encode_wav_int16
+
+    sr = 22050
+    t = np.arange(int(0.5 * sr)) / sr
+    prompt = encode_wav_int16((0.4 * np.sin(2 * np.pi * 220 * t)) * 32767, sr)
+
+    e32 = _tiny_engine()
+    c32 = e32._speaker_conditioning(prompt)
+    e16 = TTSEngine.tiny(use_bf16_conditioning=True)
+    c16 = e16._speaker_conditioning(prompt)
+    for k in ("cond_latents", "spk_emovec", "style"):
+        a = np.asarray(c32[k], np.float32)
+        b = np.asarray(c16[k], np.float32)
+        rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+        assert rel < 0.05, (k, rel)
+
+    res = e16.infer(prompt, "bf16 conditioning check.", None)
+    assert len(res.wav) > 0

@@ -352,6 +352,14 @@ class EngineConfig:
     # single host sync (each extra sync costs a round trip on remote-attached
     # chips); per-stage timers require fuse_synthesis=False
     fuse_synthesis: bool = True
+    # bf16 conditioning encoders (w2v-bert/RepCodec/CAMPPlus) for the
+    # cold-prompt path: a NEW speaker pays the 17-layer w2v-bert forward at
+    # the 15 s static shape on every request (measured 244 ms f32 on v5e —
+    # bench_results/r4/bench_cold_int8).  bf16 runs those matmuls at MXU
+    # rate; LN/softmax stats stay f32 inside the models.  RepCodec's code
+    # argmin can flip borderline codes at bf16 — validate on real weights
+    # like the other precision trades
+    use_bf16_conditioning: bool = False
     # bf16 s2mel (DiT/CFM/regulator) compute; softmax/LN stats stay f32.
     # The reference pins s2mel to fp32 (`infer_v2.py:710-711`) — bf16 trades
     # ~2e-3 mel deviation (within the 1e-2 parity budget) for MXU-rate DiT

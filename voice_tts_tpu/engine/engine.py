@@ -229,6 +229,28 @@ class TTSEngine:
                 self.params_voc_rt = {"tree": params["vocoder"],
                                       "packs": packs}
                 self._fused_voc = True
+        # cold-prompt conditioning runtime trees: a NEW speaker pays the
+        # w2v-bert(17)+RepCodec+CAMPPlus forward at the 15 s static shape
+        # per request (244 ms f32 on v5e — bench_results/r4); bf16 runs the
+        # matmuls at MXU rate, mirroring the reference's fp16 autocast
+        # (`infer_v2.py:628`).  The GPT conditioning pass reuses the bf16
+        # runtime GPT tree (conformer/perceiver weights are bf16 there;
+        # get_conditioning never touches the int8 trunk modules)
+        if cfg.engine.use_bf16_conditioning:
+            def _bf16(tree):
+                return jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                    tree)
+            self.params_cond_rt = {fam: _bf16(params[fam])
+                                   for fam in ("w2v", "repcodec", "campplus")}
+            self._cond_gpt_params = (self.params_gpt_rt
+                                     if self._tp_mesh is None
+                                     else params["gpt"])
+        else:
+            self.params_cond_rt = {fam: params[fam]
+                                   for fam in ("w2v", "repcodec", "campplus")}
+            self._cond_gpt_params = params["gpt"]
         self._resamplers: Dict[Tuple[int, int], Resampler] = {}
         self._spk_cache: Dict[str, dict] = {}
         self._emo_cache: Dict[str, jnp.ndarray] = {}
@@ -389,7 +411,8 @@ class TTSEngine:
             return jax.tree.map(put_arr, tree)
 
         for name in ("params", "params_gpt_rt", "params_s2mel_rt",
-                     "params_voc_rt", "fused_pack", "spec_draft_pack",
+                     "params_voc_rt", "params_cond_rt", "_cond_gpt_params",
+                     "fused_pack", "spec_draft_pack",
                      "w2v_mean", "w2v_std"):
             setattr(self, name, put(getattr(self, name)))
         # frontend filter constants (mel basis, fbank windows, resampler
@@ -411,15 +434,23 @@ class TTSEngine:
     def _build_jit_fns(self):
         cfg = self.cfg
 
+        def _tree_dt(p):
+            # compute dtype follows the (possibly bf16) runtime param tree;
+            # convs require matching operand dtypes, so inputs are cast at
+            # each model boundary while stats/normalization stay f32
+            return jax.tree.leaves(p)[0].dtype
+
         @jax.jit
         def prompt_features(w2v_params, rep_params, camp_params, s2_params,
                             audio16, n16, audio22_prepad, mel_frames):
             feats, mask = self.seamless(audio16, n16)
-            emb = self.w2v.apply(w2v_params, feats, mask)
-            emb = (emb - self.w2v_mean) / self.w2v_std
+            emb = self.w2v.apply(w2v_params, feats.astype(_tree_dt(w2v_params)),
+                                 mask)
+            emb = (emb.astype(jnp.float32) - self.w2v_mean) / self.w2v_std
             w2v_len = mask.sum(axis=1)
 
-            _, s_ref = self.repcodec.apply(rep_params, emb)
+            _, s_ref = self.repcodec.apply(rep_params,
+                                           emb.astype(_tree_dt(rep_params)))
             ref_mel = self.mel_fn.on_prepadded(audio22_prepad)
 
             fb = self.fbank(audio16)
@@ -428,20 +459,25 @@ class TTSEngine:
             fmean = (jnp.sum(fb * fmask[..., None], axis=1, keepdims=True)
                      / fb_frames[:, None, None])
             fb = (fb - fmean) * fmask[..., None]
-            style = self.campplus.apply(camp_params, fb, fb_frames)
+            style = self.campplus.apply(camp_params,
+                                        fb.astype(_tree_dt(camp_params)),
+                                        fb_frames)
 
             prompt_condition = self.s2mel.apply(
-                s2_params, s_ref, w2v_len, mel_frames, self.prompt_mel_frames,
+                s2_params, s_ref.astype(_tree_dt(s2_params)), w2v_len,
+                mel_frames, self.prompt_mel_frames,
                 method=S2Mel.regulate)
-            return emb, w2v_len, ref_mel, style, prompt_condition
+            return (emb, w2v_len, ref_mel, style.astype(jnp.float32),
+                    prompt_condition)
 
         self._prompt_features = prompt_features
 
         @jax.jit
         def emo_features(w2v_params, audio16, n16):
             feats, mask = self.seamless(audio16, n16)
-            emb = self.w2v.apply(w2v_params, feats, mask)
-            emb = (emb - self.w2v_mean) / self.w2v_std
+            emb = self.w2v.apply(w2v_params, feats.astype(_tree_dt(w2v_params)),
+                                 mask)
+            emb = (emb.astype(jnp.float32) - self.w2v_mean) / self.w2v_std
             return emb, mask.sum(axis=1)
 
         self._emo_features = emo_features
@@ -722,11 +758,13 @@ class TTSEngine:
                                       self.cfg.engine.max_prompt_seconds)
         buf16, n16, pre22, mel_frames = self._prepare_prompt_buffers(audio, sr)
         emb, w2v_len, ref_mel, style, prompt_condition = self._prompt_features(
-            self.params["w2v"], self.params["repcodec"], self.params["campplus"],
+            self.params_cond_rt["w2v"], self.params_cond_rt["repcodec"],
+            self.params_cond_rt["campplus"],
             self.params["s2mel"], jnp.asarray(buf16), jnp.asarray([n16]),
             jnp.asarray(pre22), jnp.asarray([mel_frames]))
-        cond_latents = self._gpt_conditioning(self.params["gpt"], emb, w2v_len)
-        spk_emovec = self._gpt_emovec(self.params["gpt"], emb, w2v_len)
+        cond_latents = self._gpt_conditioning(self._cond_gpt_params, emb,
+                                              w2v_len)
+        spk_emovec = self._gpt_emovec(self._cond_gpt_params, emb, w2v_len)
         entry = {
             "emb": emb, "w2v_len": w2v_len, "ref_mel": ref_mel, "style": style,
             "prompt_condition": prompt_condition, "mel_frames": mel_frames,
@@ -745,9 +783,10 @@ class TTSEngine:
         audio, sr = load_prompt_audio(emo_audio_prompt,
                                       self.cfg.engine.max_prompt_seconds)
         buf16, n16, _, _ = self._prepare_prompt_buffers(audio, sr)
-        emb, length = self._emo_features(self.params["w2v"], jnp.asarray(buf16),
+        emb, length = self._emo_features(self.params_cond_rt["w2v"],
+                                         jnp.asarray(buf16),
                                          jnp.asarray([n16]))
-        emovec = self._gpt_emovec(self.params["gpt"], emb, length)
+        emovec = self._gpt_emovec(self._cond_gpt_params, emb, length)
         while len(self._emo_cache) >= 16:
             self._emo_cache.pop(next(iter(self._emo_cache)))
         self._emo_cache[key] = emovec
