@@ -402,7 +402,11 @@ def test_quality_gate_on_params_tree():
 
     res = run_quality_gate(cfg, params, steps=4, prompts=1, interpret=True)
     tf = res["teacher_forced"]
-    assert set(tf) == {"int8", "int4", "int4_i8sh", "int4_gwide"}
+    assert set(tf) == {"int8", "int4", "int4_i8sh", "int4_gwide",
+                       "int8_rofold"}
+    # the folded int8 readout adds head-quantization on top of int8's
+    # trunk delta, but stays well under the int4 schemes
+    assert tf["int8_rofold"]["kl_mean"] >= tf["int8"]["kl_mean"]
     for row in tf.values():
         assert np.isfinite(row["kl_mean"]) and row["kl_mean"] >= 0
     # int8 must be (much) closer to the bf16 trajectory than int4

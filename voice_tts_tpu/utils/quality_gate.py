@@ -41,7 +41,7 @@ def run_quality_gate(cfg, params, steps: int = 96, prompts: int = 1,
                                                         n_cond_latents)
     from voice_tts_tpu.ops.fused_decode import (
         BLOCK_T, apply_kv_update, cache_to_time_major, fused_decode_step,
-        pack_gpt, pack_gpt_int4)
+        pack_gpt, pack_gpt_int4, pack_readout)
     from voice_tts_tpu.utils.quantize import quantize_gpt_params
 
     if interpret is None:
@@ -69,9 +69,13 @@ def run_quality_gate(cfg, params, steps: int = 96, prompts: int = 1,
                "free_running": [], "teacher_forced": {}}
 
     nc = n_cond_latents(cfg)
-    packs = {"int8": (pack8, False), "int4": (pack4, False),
-             "int4_i8sh": (pack4, "i8sh"),
-             "int4_gwide": (pack4w, False)}
+    ro = pack_readout(qtree)
+    # (weight pack, int4 scheme, readout pack): rofold additionally
+    # quantizes the LOGITS head to int8 (EngineConfig.fold_readout)
+    packs = {"int8": (pack8, False, None), "int4": (pack4, False, None),
+             "int4_i8sh": (pack4, "i8sh", None),
+             "int4_gwide": (pack4w, False, None),
+             "int8_rofold": (pack8, False, ro)}
 
     # ---------------- free-running greedy code identity ----------------
     for pi in range(prompts):
@@ -86,10 +90,11 @@ def run_quality_gate(cfg, params, steps: int = 96, prompts: int = 1,
         ref_codes = np.asarray(ref.codes[0])
         ref_len = int(ref.lengths[0])
         row = {"prompt": pi, "ref_len": ref_len}
-        for name, (pack, expand) in packs.items():
+        for name, (pack, expand, ro_pack) in packs.items():
             res = decode(params_bf16, model, gen, cond, emo, text, tlen,
                          prng, max_new=steps, fused_pack=pack,
-                         int4_expand=expand, merge_stages=3)
+                         int4_expand=expand, merge_stages=3,
+                         readout_pack=ro_pack)
             codes = np.asarray(res.codes[0])
             n = min(ref_len, int(res.lengths[0]))
             agree = 0
@@ -119,7 +124,7 @@ def run_quality_gate(cfg, params, steps: int = 96, prompts: int = 1,
     t_max = p + 1 + steps
     t_max += (-t_max) % BLOCK_T
 
-    def forced_logits(pack, expand):
+    def forced_logits(pack, expand, ro_pack=None):
         """Step the megakernel along `traj`, returning (T, V) logits."""
         prompt, valid_p = model.apply(params_bf16, cond.astype(jnp.bfloat16),
                                       emo.astype(jnp.bfloat16), text, tlen,
@@ -147,18 +152,27 @@ def run_quality_gate(cfg, params, steps: int = 96, prompts: int = 1,
                 emb = model.apply(params_bf16, jnp.asarray([tok]),
                                   jnp.asarray(step - 1),
                                   method=UnifiedVoice.embed_decode_token)
-                hidden, kv_new = fused_decode_step(
-                    emb, pack, cache, bias, p + step, cfg.heads,
-                    interpret=interpret, int4_expand=expand, merge_stages=3)
-                cache = apply_kv_update(cache, kv_new, p + step)
-                outs.append(model.apply(params_bf16, hidden,
-                                        method=UnifiedVoice.readout))
+                if ro_pack is not None:
+                    _, kv_new, lp = fused_decode_step(
+                        emb, pack, cache, bias, p + step, cfg.heads,
+                        interpret=interpret, int4_expand=expand,
+                        merge_stages=3, readout_pack=ro_pack)
+                    cache = apply_kv_update(cache, kv_new, p + step)
+                    outs.append(lp[:, :cfg.number_mel_codes])
+                else:
+                    hidden, kv_new = fused_decode_step(
+                        emb, pack, cache, bias, p + step, cfg.heads,
+                        interpret=interpret, int4_expand=expand,
+                        merge_stages=3)
+                    cache = apply_kv_update(cache, kv_new, p + step)
+                    outs.append(model.apply(params_bf16, hidden,
+                                            method=UnifiedVoice.readout))
         return np.stack([np.asarray(o[0], np.float32) for o in outs])
 
     ref_logits = forced_logits(None, False)
     ref_logp = jax.nn.log_softmax(ref_logits, axis=-1)
-    for name, (pack, expand) in packs.items():
-        ql = forced_logits(pack, expand)
+    for name, (pack, expand, ro_pack) in packs.items():
+        ql = forced_logits(pack, expand, ro_pack)
         qlogp = jax.nn.log_softmax(ql, axis=-1)
         pref = np.exp(np.asarray(ref_logp))
         kl = np.sum(pref * (np.asarray(ref_logp) - np.asarray(qlogp)),
