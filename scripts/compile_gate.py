@@ -74,16 +74,21 @@ def b1_case(pack, t_max=T_MAX, int8_kv=False, int4_expand=False,
 
 def batch_case(pack, b, t_max=T_MAX, int8_kv=False, int4_expand=False,
                merge_stages=3, per_row_pos=False, beam_src=False,
-               cache_dtype=jnp.bfloat16):
+               cache_dtype=jnp.bfloat16, readout=False):
     from voice_tts_tpu.ops import fused_decode as fd
     cache = S((L, 2, b, t_max, D), jnp.int8 if int8_kv else cache_dtype)
     kv_scales = S((L, b, t_max, 2), jnp.float32) if int8_kv else None
     pos = S((b,), jnp.int32) if per_row_pos else S((), jnp.int32)
     src = S((b, t_max), jnp.int32) if beam_src else None
+    ro = None
+    if readout:
+        ro = fd.ReadoutPack(w=S((12, D, 768), jnp.int8),
+                            consts=S((12, 2, 768), jnp.float32),
+                            lnf=S((2, D), jnp.float32))
     return fd.fused_decode_step_batch.lower(
         S((b, D), jnp.float32), pack, cache, S((b, t_max), jnp.float32),
         pos, H, kv_scales=kv_scales, int4_expand=int4_expand,
-        merge_stages=merge_stages, beam_src=src)
+        merge_stages=merge_stages, beam_src=src, readout_pack=ro)
 
 
 def verify_case(pack, k, t_max=T_MAX, merge_stages=3,
@@ -174,6 +179,11 @@ def cases():
                                               readout=True),
         "b1_int8_rofold_long": lambda: b1_case(i8, t_max=T_LONG,
                                                readout=True),
+        "b3_int8_src_beam_rofold": lambda: batch_case(i8, 3, beam_src=True,
+                                                      readout=True),
+        "b3_int8_kv8_src_beam_rofold": lambda: batch_case(
+            i8, 3, int8_kv=True, beam_src=True, readout=True),
+        "b8_int8_rofold": lambda: batch_case(i8, 8, readout=True),
         # --- batched megakernel (continuous serving + beams) ---
         "b2_int8_m3": lambda: batch_case(i8, 2),
         "b3_int8_m3_beam": lambda: batch_case(i8, 3),

@@ -874,3 +874,41 @@ def test_readout_fold_matches_xla_readout(setup):
                 jax.random.PRNGKey(5), max_new=8, fused_pack=pack,
                 merge_stages=3, readout_pack=ro)
     assert r2.codes.shape == r1.codes.shape
+
+
+def test_readout_fold_batched_and_beam(setup):
+    """Batched-kernel readout fold (beam/grouped serving): hidden/kv
+    bit-identical; logits within the int8 head-quantization envelope."""
+    from voice_tts_tpu.ops.fused_decode import (batch_block_t, pack_readout,
+                                                fused_decode_step_batch)
+
+    model, qparams, pack = setup
+    ro = pack_readout(qparams)
+    d, l = CFG.model_dim, CFG.layers
+    B, t_max = 3, 256
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, d)) * 0.1
+    hd = d // CFG.heads
+    cache = (jax.random.normal(jax.random.PRNGKey(2),
+                               (l, 2, B, CFG.heads, hd, t_max)) * 0.02
+             ).astype(jnp.bfloat16)
+    cache = cache_to_time_major(cache)
+    bias = jnp.zeros((B, t_max), jnp.float32)
+    src = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None],
+                           (B, t_max))
+    pos = jnp.asarray(17)
+
+    h1, kv1 = fused_decode_step_batch(x, pack, cache, bias, pos, CFG.heads,
+                                      interpret=True, merge_stages=3,
+                                      beam_src=src)
+    h2, kv2, lp = fused_decode_step_batch(x, pack, cache, bias, pos,
+                                          CFG.heads, interpret=True,
+                                          merge_stages=3, beam_src=src,
+                                          readout_pack=ro)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_array_equal(np.asarray(kv1), np.asarray(kv2))
+    vocab = CFG.number_mel_codes
+    logits = np.asarray(lp)[:, :vocab]
+    true = np.asarray(model.apply(qparams, h1,
+                                  method=UnifiedVoice.readout), np.float32)
+    rel = np.max(np.abs(logits - true)) / (np.max(np.abs(true)) + 1e-9)
+    assert rel < 5e-2, rel

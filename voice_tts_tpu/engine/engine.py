@@ -1219,7 +1219,8 @@ class TTSEngine:
                     fused_pack=self._beam_fused_pack(),
                     int8_kv=self.cfg.engine.use_int8_kv,
                     int4_expand=self.cfg.engine.int4_expand,
-                    merge_stages=self.cfg.engine.merge_decode_stages))
+                    merge_stages=self.cfg.engine.merge_decode_stages,
+                    readout_pack=self.readout_pack))
             res = DecodeResult(
                 jnp.concatenate([r.codes for r in results]),
                 jnp.concatenate([r.lengths for r in results]),
@@ -1391,7 +1392,8 @@ class TTSEngine:
                               fused_pack=self._beam_fused_pack(),
                               int8_kv=self.cfg.engine.use_int8_kv,
                               int4_expand=self.cfg.engine.int4_expand,
-                              merge_stages=self.cfg.engine.merge_decode_stages)
+                              merge_stages=self.cfg.engine.merge_decode_stages,
+                              readout_pack=self.readout_pack)
         codes_np, lengths_np, hit_limit = self._fetch_decode(res)
         timers["gpt_gen_time"] += time.perf_counter() - t0
 

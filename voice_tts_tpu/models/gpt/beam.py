@@ -123,7 +123,8 @@ def beam_decode(params, model: UnifiedVoice, gen: GenerationConfig,
                 rng: jax.Array, max_new: int,
                 fused_pack: Optional[FusedDecodePack] = None,
                 int8_kv: bool = False, int4_expand: bool = False,
-                merge_stages: bool | int = False) -> DecodeResult:
+                merge_stages: bool | int = False,
+                readout_pack=None) -> DecodeResult:
     """Beam search/sample for a single request (batch 1 x K beams).
 
     Returns the best hypothesis as a (1, max_new) DecodeResult; `lengths`
@@ -349,16 +350,26 @@ def beam_decode(params, model: UnifiedVoice, gen: GenerationConfig,
             emb = model.apply(params, s.last_tokens, s.step - 1,
                               method=UnifiedVoice.embed_decode_token)
             kv_c, kv_s = s.cache if int8_kv else (s.cache, None)
-            hidden, kv_new = fused_decode_step_batch(
-                emb, fused_pack, kv_c, attn_bias, p + s.step, cfg.heads,
-                interpret=interp, kv_scales=kv_s, int4_expand=int4_expand,
-                merge_stages=merge_stages, beam_src=s.src)
+            if readout_pack is not None:
+                _, kv_new, logits_pad = fused_decode_step_batch(
+                    emb, fused_pack, kv_c, attn_bias, p + s.step, cfg.heads,
+                    interpret=interp, kv_scales=kv_s,
+                    int4_expand=int4_expand, merge_stages=merge_stages,
+                    beam_src=s.src, readout_pack=readout_pack)
+                logits = logits_pad[:, :vocab]
+            else:
+                hidden, kv_new = fused_decode_step_batch(
+                    emb, fused_pack, kv_c, attn_bias, p + s.step, cfg.heads,
+                    interpret=interp, kv_scales=kv_s,
+                    int4_expand=int4_expand, merge_stages=merge_stages,
+                    beam_src=s.src)
+                logits = model.apply(params, hidden,
+                                     method=UnifiedVoice.readout)
             if int8_kv:
                 cache = apply_kv_update_q_batch(kv_c, kv_s, kv_new,
                                                 p + s.step)
             else:
                 cache = apply_kv_update_batch(s.cache, kv_new, p + s.step)
-            logits = model.apply(params, hidden, method=UnifiedVoice.readout)
         else:
             logits, cache = model.apply(
                 params, s.last_tokens, s.step - 1, p + s.step, valid_k,

@@ -256,16 +256,25 @@ def decode(params, model: UnifiedVoice, gen: GenerationConfig,
             emb = model.apply(params, s.token, s.step - 1,
                               method=UnifiedVoice.embed_decode_token)
             kv_c, kv_s = s.cache if int8_kv else (s.cache, None)
-            hidden, kv_new = fused_decode_step_batch(
-                emb, fused_pack, kv_c, attn_bias, p + s.step, cfg.heads,
-                interpret=interp, kv_scales=kv_s, int4_expand=int4_expand,
-                merge_stages=merge_stages)
+            if readout_pack is not None:
+                _, kv_new, logits_pad = fused_decode_step_batch(
+                    emb, fused_pack, kv_c, attn_bias, p + s.step, cfg.heads,
+                    interpret=interp, kv_scales=kv_s,
+                    int4_expand=int4_expand, merge_stages=merge_stages,
+                    readout_pack=readout_pack)
+                logits = logits_pad[:, :vocab]
+            else:
+                hidden, kv_new = fused_decode_step_batch(
+                    emb, fused_pack, kv_c, attn_bias, p + s.step, cfg.heads,
+                    interpret=interp, kv_scales=kv_s,
+                    int4_expand=int4_expand, merge_stages=merge_stages)
+                logits = model.apply(params, hidden,
+                                     method=UnifiedVoice.readout)
             if int8_kv:
                 cache = apply_kv_update_q_batch(kv_c, kv_s, kv_new,
                                                 p + s.step)
             else:
                 cache = apply_kv_update_batch(s.cache, kv_new, p + s.step)
-            logits = model.apply(params, hidden, method=UnifiedVoice.readout)
         elif use_fused:
             emb = model.apply(params, s.token, s.step - 1,
                               method=UnifiedVoice.embed_decode_token)

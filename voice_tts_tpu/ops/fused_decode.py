@@ -969,7 +969,7 @@ def _attend_verify(layer, scal_ref, heads, d, bt, q_in, k_cur, v_cur,
 
 def _kernel_batch(scal_ref, x_ref, w_ref, c_ref, *rest, heads, int4_groups,
                   int4_expand, int8_kv, has_src, tpg, block_t,
-                  verify=False):
+                  verify=False, readout=False):
     """Batched variant of `_kernel_merged`: (B, D) activations, grid
     (L, 12/tpg).  Weight tiles stream exactly as in the batch-1 kernel (the
     DMA amortizes over the batch); the residual/ln/qkv/mlp scratch carries a
@@ -981,11 +981,17 @@ def _kernel_batch(scal_ref, x_ref, w_ref, c_ref, *rest, heads, int4_groups,
     rest = rest[3:]
     kscale_ref = rest.pop(0) if int8_kv else None
     src_ref = rest.pop(0) if has_src else None
-    (y_ref, kv_ref, x_s, ln_s, q_s, k_s, v_s, h_s, acc_s, kbuf, vbuf,
+    ro_w_ref = rest.pop(0) if readout else None
+    ro_c_ref = rest.pop(0) if readout else None
+    lnf_ref = rest.pop(0) if readout else None
+    y_ref, kv_ref = rest[0], rest[1]
+    rest = rest[2:]
+    logits_ref = rest.pop(0) if readout else None
+    (x_s, ln_s, q_s, k_s, v_s, h_s, acc_s, kbuf, vbuf,
      sem_k, sem_v) = rest
     layer = pl.program_id(0)
     g = pl.program_id(1)
-    n_layers = pl.num_programs(0)
+    n_layers = pl.num_programs(0) - (1 if readout else 0)
     d = x_ref.shape[1]
 
     def dot(src, t_global):
@@ -1047,10 +1053,26 @@ def _kernel_batch(scal_ref, x_ref, w_ref, c_ref, *rest, heads, int4_groups,
                     y_ref[...] = x_s[...]
 
     for grp in range(TILES_PER_LAYER // tpg):
-        @pl.when(g == grp)
+        trunk_here = (g == grp) if not readout else ((g == grp)
+                                                     & (layer < n_layers))
+
+        @pl.when(trunk_here)
         def _(grp=grp):
             for j in range(tpg):
                 action(grp * tpg + j)
+
+    if readout:
+        @pl.when(layer == n_layers)
+        def _():
+            @pl.when(g == 0)
+            def _():
+                ln_s[...] = _ln(x_s[...], lnf_ref[0:1], lnf_ref[1:2])
+            src = ln_s[...].astype(jnp.bfloat16)       # (B, D)
+            for j in range(tpg):
+                yv = jnp.dot(src, ro_w_ref[0, j].astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+                logits_ref[0, j] = (yv * ro_c_ref[0, j, 0:1]
+                                    + ro_c_ref[0, j, 1:2])
 
 
 @functools.partial(jax.jit,
@@ -1063,7 +1085,8 @@ def fused_decode_step_batch(x: jnp.ndarray, pack: FusedDecodePack,
                             kv_scales: jnp.ndarray = None,
                             int4_expand: bool = False,
                             merge_stages: bool | int = False,
-                            beam_src: jnp.ndarray = None):
+                            beam_src: jnp.ndarray = None,
+                            readout_pack: ReadoutPack = None):
     """Batched (2 <= B <= 8) trunk megakernel step for continuous-batch
     serving.  x (B, D) token embeddings; kv_cache TIME-MAJOR
     (L, 2, B, Tmax, D); bias (B, Tmax) f32 additive mask (per-row prompt
@@ -1120,18 +1143,38 @@ def fused_decode_step_batch(x: jnp.ndarray, pack: FusedDecodePack,
         raise ValueError(
             f"merge_stages must be one of 0/False, 3, or 6, got "
             f"{merge_stages!r}")
+    ro = readout_pack is not None
+    gg = TILES_PER_LAYER // tpg
+    if ro:
+        def w_idx(i, t, s):
+            return (jnp.minimum(i, l - 1),
+                    jnp.where(i >= l, gg - 1, t), 0, 0)
+
+        def c_idx(i, t, s):
+            return (jnp.minimum(i, l - 1), 0, 0)
+
+        def c_idx4(i, t, s):
+            return (jnp.minimum(i, l - 1), 0, 0, 0)
+    else:
+        def w_idx(i, t, s):
+            return (i, t, 0, 0)
+
+        def c_idx(i, t, s):
+            return (i, 0, 0)
+
+        def c_idx4(i, t, s):
+            return (i, 0, 0, 0)
     in_specs = [
         pl.BlockSpec((b, d), lambda i, t, s: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tpg, w_rows, d), lambda i, t, s: (i, t, 0, 0),
+        pl.BlockSpec((1, tpg, w_rows, d), w_idx,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 28, d), lambda i, t, s: (i, 0, 0),
+        pl.BlockSpec((1, 28, d), c_idx,
                      memory_space=pltpu.VMEM),
     ]
     if int4:
         in_specs.append(
-            pl.BlockSpec((1, tpg, int4_groups, d),
-                         lambda i, t, s: (i, t, 0, 0),
+            pl.BlockSpec((1, tpg, int4_groups, d), w_idx,
                          memory_space=pltpu.VMEM))
     in_specs += [
         pl.BlockSpec((d, heads), lambda i, t, s: (0, 0),
@@ -1142,23 +1185,46 @@ def fused_decode_step_batch(x: jnp.ndarray, pack: FusedDecodePack,
     ]
     if int8_kv:
         in_specs.append(
-            pl.BlockSpec((1, b, t_max, 2), lambda i, t, s: (i, 0, 0, 0),
+            pl.BlockSpec((1, b, t_max, 2), c_idx4,
                          memory_space=pltpu.VMEM))    # per-layer kv scales
     if has_src:
         in_specs.append(
             pl.BlockSpec((b, t_max), lambda i, t, s: (0, 0),
                          memory_space=pltpu.VMEM))    # beam ancestor table
+    extra_args = []
+    if ro:
+        assert readout_pack.w.shape[0] == RO_TILES
+        vt = readout_pack.w.shape[2]
+        in_specs += [
+            pl.BlockSpec((1, tpg, d, vt),
+                         lambda i, t, s: (jnp.where(i >= l, t, 0), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tpg, 2, vt),
+                         lambda i, t, s: (jnp.where(i >= l, t, 0), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, d), lambda i, t, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        extra_args = [readout_pack.w.reshape(gg, tpg, d, vt),
+                      readout_pack.consts.reshape(gg, tpg, 2, vt),
+                      readout_pack.lnf]
+    out_specs = [
+        pl.BlockSpec((b, d), lambda i, t, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, b, d), c_idx4,
+                     memory_space=pltpu.VMEM),        # per-layer new k/v
+    ]
+    if ro:
+        out_specs.append(
+            pl.BlockSpec((1, tpg, b, vt),
+                         lambda i, t, s: (jnp.where(i >= l, t, 0), 0, 0, 0),
+                         memory_space=pltpu.VMEM))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(l, TILES_PER_LAYER // tpg),
+        grid=(l + (1 if ro else 0), gg),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((b, d), lambda i, t, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, b, d), lambda i, t, s: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),    # per-layer new k/v
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((b, d), jnp.float32),          # x_s residual
             pltpu.VMEM((b, d), jnp.float32),          # ln_s
@@ -1176,7 +1242,7 @@ def fused_decode_step_batch(x: jnp.ndarray, pack: FusedDecodePack,
     kernel = functools.partial(
         _kernel_batch, heads=heads, int4_groups=int4_groups,
         int4_expand=int4_expand, int8_kv=int8_kv, has_src=has_src,
-        tpg=tpg, block_t=bt)
+        tpg=tpg, block_t=bt, readout=ro)
     pos_vec = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (b,))
     # bias -> per-row contiguous invalid interval [lo, hi) (see docstring)
     invalid = bias < -1e29
@@ -1192,14 +1258,19 @@ def fused_decode_step_batch(x: jnp.ndarray, pack: FusedDecodePack,
         args.append(kv_scales)
     if has_src:
         args.append(beam_src.astype(jnp.int32))
+    args += extra_args
     kv_new_dtype = jnp.float32 if int8_kv else kv_cache.dtype
-    y, kv_new = pl.pallas_call(
+    out_shapes = [
+        jax.ShapeDtypeStruct((b, d), jnp.float32),
+        jax.ShapeDtypeStruct((l, 2, b, d), kv_new_dtype),
+    ]
+    if ro:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((gg, tpg, b, vt), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, d), jnp.float32),
-            jax.ShapeDtypeStruct((l, 2, b, d), kv_new_dtype),
-        ],
+        out_shape=out_shapes,
         # the double-buffered weight block (tpg int8 tiles, ~9.8 MB at
         # merge=3/D=1280) + the (2, B, BT, D) k/v slabs (~5.2 MB bf16)
         # overflow the 16 MiB default scoped budget by ~0.5 MB at B in
@@ -1209,6 +1280,13 @@ def fused_decode_step_batch(x: jnp.ndarray, pack: FusedDecodePack,
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*args)
+    if ro:
+        y, kv_new, logits = outs
+        # (gg, tpg, b, vt) tile-major -> (b, 12*vt); caller slices vocab
+        logits = jnp.transpose(logits, (2, 0, 1, 3)).reshape(b,
+                                                             RO_TILES * vt)
+        return y, kv_new, logits
+    y, kv_new = outs
     return y, kv_new
 
 
