@@ -382,3 +382,20 @@ def test_batched_conditioning_matches_single():
     e_fresh = TTSEngine.tiny(seed=0)
     out = e_fresh.infer_batch(reqs)
     assert len(out) == 3 and all(len(r.wav) > 0 for r in out)
+
+
+@pytest.mark.ci_tier
+def test_bf16_conditioning_with_bf16_gpt_tree():
+    """use_bf16_conditioning + a bf16 runtime GPT tree (use_fp16/int8
+    serving): the GPT conditioning convs require the input cast to the
+    param dtype (the wave-C on-chip crash: conv_general_dilated f32 x
+    bf16)."""
+    from voice_tts_tpu.audio import encode_wav_int16
+
+    e = TTSEngine.tiny(use_fp16=True, use_bf16_conditioning=True)
+    sr = 22050
+    t = np.arange(int(0.4 * sr)) / sr
+    prompt = encode_wav_int16((0.4 * np.sin(2 * np.pi * 220 * t)) * 32767,
+                              sr)
+    c = e._speaker_conditioning(prompt)
+    assert np.isfinite(np.asarray(c["cond_latents"], np.float32)).all()

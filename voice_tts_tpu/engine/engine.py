@@ -486,16 +486,29 @@ class TTSEngine:
 
         self._emo_features = emo_features
 
+        def _float_dt(p):
+            # first FLOATING leaf dtype (the int8 runtime GPT tree holds
+            # int8 trunk weights; the conformer/perceiver weights are the
+            # bf16/f32 compute dtype the convs require inputs to match)
+            for x in jax.tree.leaves(p):
+                if (hasattr(x, "dtype")
+                        and jnp.issubdtype(x.dtype, jnp.floating)):
+                    return x.dtype
+            return jnp.float32
+
         @jax.jit
         def gpt_conditioning(gpt_params, spk_emb, spk_len):
-            return self.gpt.apply(gpt_params, spk_emb, spk_len,
+            return self.gpt.apply(gpt_params,
+                                  spk_emb.astype(_float_dt(gpt_params)),
+                                  spk_len,
                                   method=UnifiedVoice.get_conditioning)
 
         self._gpt_conditioning = gpt_conditioning
 
         @jax.jit
         def gpt_emovec(gpt_params, emb, length):
-            return self.gpt.apply(gpt_params, emb, length,
+            return self.gpt.apply(gpt_params,
+                                  emb.astype(_float_dt(gpt_params)), length,
                                   method=UnifiedVoice.get_emovec)
 
         self._gpt_emovec = gpt_emovec
