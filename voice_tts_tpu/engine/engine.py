@@ -444,9 +444,9 @@ class TTSEngine:
             # each model boundary while stats/normalization stay f32
             return jax.tree.leaves(p)[0].dtype
 
-        @jax.jit
-        def prompt_features(w2v_params, rep_params, camp_params, s2_params,
-                            audio16, n16, audio22_prepad, mel_frames):
+        def prompt_features_body(w2v_params, rep_params, camp_params,
+                                 s2_params, audio16, n16, audio22_prepad,
+                                 mel_frames):
             feats, mask = self.seamless(audio16, n16)
             emb = self.w2v.apply(w2v_params, feats.astype(_tree_dt(w2v_params)),
                                  mask)
@@ -474,7 +474,28 @@ class TTSEngine:
             return (emb, w2v_len, ref_mel, style.astype(jnp.float32),
                     prompt_condition)
 
-        self._prompt_features = prompt_features
+        self._prompt_features = jax.jit(prompt_features_body)
+
+        @jax.jit
+        def speaker_conditioning_graph(w2v_params, rep_params, camp_params,
+                                       s2_params, gpt_params, audio16, n16,
+                                       audio22_prepad, mel_frames):
+            """The ENTIRE new-speaker conditioning pipeline in ONE dispatch
+            (remote-attached chips pay a round trip per dispatch; the cold
+            path previously issued three)."""
+            emb, w2v_len, ref_mel, style, prompt_condition = \
+                prompt_features_body(w2v_params, rep_params, camp_params,
+                                     s2_params, audio16, n16, audio22_prepad,
+                                     mel_frames)
+            dt = _float_dt(gpt_params)
+            cond_latents = self.gpt.apply(gpt_params, emb.astype(dt), w2v_len,
+                                          method=UnifiedVoice.get_conditioning)
+            spk_emovec = self.gpt.apply(gpt_params, emb.astype(dt), w2v_len,
+                                        method=UnifiedVoice.get_emovec)
+            return (emb, w2v_len, ref_mel, style, prompt_condition,
+                    cond_latents, spk_emovec)
+
+        self._speaker_conditioning_graph = speaker_conditioning_graph
 
         @jax.jit
         def emo_features(w2v_params, audio16, n16):
@@ -775,14 +796,13 @@ class TTSEngine:
         audio, sr = load_prompt_audio(spk_audio_prompt,
                                       self.cfg.engine.max_prompt_seconds)
         buf16, n16, pre22, mel_frames = self._prepare_prompt_buffers(audio, sr)
-        emb, w2v_len, ref_mel, style, prompt_condition = self._prompt_features(
+        (emb, w2v_len, ref_mel, style, prompt_condition, cond_latents,
+         spk_emovec) = self._speaker_conditioning_graph(
             self.params_cond_rt["w2v"], self.params_cond_rt["repcodec"],
             self.params_cond_rt["campplus"],
-            self.params["s2mel"], jnp.asarray(buf16), jnp.asarray([n16]),
+            self.params["s2mel"], self._cond_gpt_params,
+            jnp.asarray(buf16), jnp.asarray([n16]),
             jnp.asarray(pre22), jnp.asarray([mel_frames]))
-        cond_latents = self._gpt_conditioning(self._cond_gpt_params, emb,
-                                              w2v_len)
-        spk_emovec = self._gpt_emovec(self._cond_gpt_params, emb, w2v_len)
         entry = {
             "emb": emb, "w2v_len": w2v_len, "ref_mel": ref_mel, "style": style,
             "prompt_condition": prompt_condition, "mel_frames": mel_frames,
@@ -830,14 +850,13 @@ class TTSEngine:
         n16 = np.asarray([r[1] for r in rows], np.int32)
         pre22 = np.concatenate([r[2] for r in rows], axis=0)
         mel_frames = np.asarray([r[3] for r in rows], np.int32)
-        emb, w2v_len, ref_mel, style, prompt_condition = self._prompt_features(
+        (emb, w2v_len, ref_mel, style, prompt_condition, cond_latents,
+         spk_emovec) = self._speaker_conditioning_graph(
             self.params_cond_rt["w2v"], self.params_cond_rt["repcodec"],
             self.params_cond_rt["campplus"],
-            self.params["s2mel"], jnp.asarray(buf16), jnp.asarray(n16),
+            self.params["s2mel"], self._cond_gpt_params,
+            jnp.asarray(buf16), jnp.asarray(n16),
             jnp.asarray(pre22), jnp.asarray(mel_frames))
-        cond_latents = self._gpt_conditioning(self._cond_gpt_params, emb,
-                                              w2v_len)
-        spk_emovec = self._gpt_emovec(self._cond_gpt_params, emb, w2v_len)
         for i, key in enumerate(keys):
             self._spk_cache_put(key, {
                 "emb": emb[i:i + 1], "w2v_len": w2v_len[i:i + 1],
