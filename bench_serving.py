@@ -60,10 +60,23 @@ def main():
              "这是一个比较长的句子用来测试不同长度的请求情况如何."]
 
     # warm-up: compile decode/s2mel graphs for batch buckets
+    warm_uid = [10_000]  # distinct from the measured unique prompts
+
+    def warm_prompt(i):
+        if not args.unique_speakers:
+            return prompts[i % 3]
+        from bench import _unique_prompt
+        warm_uid[0] += 1
+        return _unique_prompt(warm_uid[0])
+
     for b in (1, 2, 4, 8):
         if b > engine.cfg.server.max_batch_size:
             break
-        reqs = [{"spk_audio_prompt": prompts[i % 3], "text": texts[i % 3]}
+        # unique-speaker mode: b NEW speakers per group so the batched
+        # conditioning graph compiles at every bucket (a mid-bench compile
+        # of the flagship conditioning graph costs ~a minute on the tunnel
+        # and poisons every latency percentile)
+        reqs = [{"spk_audio_prompt": warm_prompt(i), "text": texts[i % 3]}
                 for i in range(b)]
         engine.infer_batch(reqs)
 
