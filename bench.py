@@ -109,9 +109,11 @@ def build_engine(tiny: bool):
         os.environ.get("FUSED_BEAM", "0") == "1")
     if os.environ.get("BEAMS"):
         cfg.generation.num_beams = int(os.environ["BEAMS"])
-    # folded megakernel readout A/B (FOLD_READOUT=1): int8 mel_head tiles
-    # streamed through the decode kernel's weight pipeline
-    cfg.engine.fold_readout = os.environ.get("FOLD_READOUT", "0") == "1"
+    # folded megakernel readout (int8 mel_head tiles streamed through the
+    # decode kernel's weight pipeline) — round-4 default ON, matching the
+    # serving profile (r4 A/B: 0.0716 -> 0.0705; logit-KL bound in the
+    # quality gate's int8_rofold row).  A/B off: FOLD_READOUT=0
+    cfg.engine.fold_readout = os.environ.get("FOLD_READOUT", "1") == "1"
     # bf16 conditioning encoders A/B (COND_BF16=1): the cold-prompt
     # w2v-bert(17)+RepCodec+CAMPPlus forward at MXU rate
     cfg.engine.use_bf16_conditioning = (

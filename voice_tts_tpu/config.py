@@ -420,8 +420,10 @@ class EngineConfig:
     # Euler steps per compiled CFM scan-loop body (lax.scan unroll):
     # identical numerics (steps stay sequential); >1 lets XLA schedule
     # across step boundaries and amortizes loop overhead on the
-    # op-overhead-bound DiT eval.  A/B per hardware via CFM_UNROLL
-    cfm_unroll: int = 1
+    # op-overhead-bound DiT eval.  Default 5: measured 0.0716 -> 0.0703
+    # RTF on v5e (bench_results/r4/bench_cfm_unroll5; unroll 25 gave
+    # 0.0710 — full unroll loses the win to scheduling/ICache pressure)
+    cfm_unroll: int = 5
     # batch a multi-segment `infer` call's segments through the same
     # sub-batched decode/synthesis machinery as `infer_batch` (decode wall
     # ~ longest segment instead of the sum; weights amortize across rows).
@@ -518,6 +520,12 @@ class TTSConfig:
         e.use_fused_beam_decode = True
         e.use_int8_kv = True
         e.fuse_pipeline = True
+        # round-4 winners: folded int8 readout (r4: 0.0716 -> 0.0705
+        # greedy; composes with the beam/batched kernels; logit-KL bound
+        # in the quality gate's int8_rofold row), bf16 conditioning for
+        # the cold-prompt path (the reference's own fp16 autocast scope)
+        e.fold_readout = True
+        e.use_bf16_conditioning = True
         return self
 
     @classmethod
