@@ -322,6 +322,15 @@ class EngineConfig:
     # N=6 only fits the nibble-packed int4 tiles).  Default 3: measured
     # RTF 0.0730 -> 0.0715 at bench shape with identical numerics (r2 A/B)
     merge_decode_stages: int = 3
+    # release the f32 MASTER trees of families that inference never reads
+    # once the runtime trees exist (gpt -> params_gpt_rt; w2v -> the bf16
+    # conditioning tree when use_bf16_conditioning): ~4 GB of HBM on the
+    # flagship config.  The wave-E server burst OOM'd exactly here — f32
+    # masters + int8/bf16 runtime copies + beam caches + batched synthesis
+    # left no headroom, and the watchdog's rebuild-on-OOM doubled the
+    # footprint.  Off by default (keeps `engine.params` save/convert-able);
+    # ON in the serving profile
+    release_master_trees: bool = False
     # fold final_norm + mel_head into the decode megakernel (batch-1 path):
     # the head streams as int8 column tiles through the same double-buffered
     # weight pipeline — half the readout DMA (21 MB bf16 -> 10.7 MB int8 per
@@ -526,6 +535,7 @@ class TTSConfig:
         # the cold-prompt path (the reference's own fp16 autocast scope)
         e.fold_readout = True
         e.use_bf16_conditioning = True
+        e.release_master_trees = True
         return self
 
     @classmethod

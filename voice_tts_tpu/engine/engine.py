@@ -255,6 +255,16 @@ class TTSEngine:
             self.params_cond_rt = {fam: params[fam]
                                    for fam in ("w2v", "repcodec", "campplus")}
             self._cond_gpt_params = params["gpt"]
+        if cfg.engine.release_master_trees:
+            # inference never reads these f32 masters once the runtime
+            # trees exist (grep: params["gpt"]/["w2v"] appear only in
+            # __init__); aliasing them to the runtime trees lets jax free
+            # ~4 GB of flagship HBM.  `engine.params` stays structurally
+            # complete for to_device; artifact saving from a serving
+            # engine saves the runtime precision (documented on the flag)
+            self.params["gpt"] = self.params_gpt_rt
+            if cfg.engine.use_bf16_conditioning:
+                self.params["w2v"] = self.params_cond_rt["w2v"]
         self._resamplers: Dict[Tuple[int, int], Resampler] = {}
         self._spk_cache: Dict[str, dict] = {}
         self._emo_cache: Dict[str, jnp.ndarray] = {}

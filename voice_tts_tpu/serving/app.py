@@ -47,6 +47,19 @@ def is_fatal_engine_error(exc: BaseException) -> bool:
         "simulated device failure"))
 
 
+class _OfflineReplica:
+    """Placeholder for a replica whose rebuild failed: every batch raises a
+    fatal-looking error so the worker's watchdog retries the rebuild."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.device = None
+
+    def infer_batch(self, reqs):
+        raise RuntimeError("INTERNAL: replica offline (rebuild failed); "
+                           "retrying rebuild")
+
+
 class TTSService:
     def __init__(self):
         self.server = HttpServer()
@@ -197,6 +210,16 @@ class TTSService:
                     logger.warning(
                         "replica %d wedged (%r, %d consecutive failures); "
                         "rebuilding", idx, e, consecutive_failures)
+                    # free the old engine BEFORE building its replacement:
+                    # rebuilding a flagship engine while the wedged one's
+                    # ~8 GB of device buffers are still referenced turns a
+                    # single OOM into an OOM spiral (wave-E server burst)
+                    old_cfg = engine.cfg
+                    self.engines[idx] = None
+                    engine = None
+                    import gc
+
+                    gc.collect()
                     try:
                         engine = await loop.run_in_executor(
                             None, self._engine_factory, idx)
@@ -206,8 +229,11 @@ class TTSService:
                         consecutive_failures = 0
                         logger.success("replica %d rebuilt", idx)
                     except Exception:  # noqa: BLE001
-                        logger.exception("replica %d rebuild failed; "
-                                         "keeping the old engine", idx)
+                        logger.exception(
+                            "replica %d rebuild failed; replica offline — "
+                            "the next batch retries the rebuild", idx)
+                        engine = _OfflineReplica(old_cfg)
+                        self.engines[idx] = engine
 
     async def submit(self, req: dict, timeout: Optional[float] = None):
         q = self._queues[self._next % len(self._queues)]
@@ -274,6 +300,7 @@ class TTSService:
                     {"replica": i,
                      "device": (str(e.device) if e.device is not None
                                 else "default"),
+                     "offline": isinstance(e, _OfflineReplica),
                      "tensor_parallel": e.cfg.engine.tensor_parallel,
                      # the active fast-path flags, so operators can verify
                      # which profile a replica actually serves (the round-3
@@ -291,6 +318,7 @@ class TTSService:
                      "continuous_batching":
                          e.cfg.server.continuous_batching}
                     for i, e in enumerate(self.engines)
+                    if e is not None  # mid-rebuild window
                 ],
             })
 
@@ -341,8 +369,9 @@ class TTSService:
                 start = time.time()
                 self.metrics["tts_requests_total"] += 1
                 timeout = None
-                if self.engines:
-                    timeout = getattr(self.engines[0].cfg.server,
+                live = next((e for e in self.engines if e is not None), None)
+                if live is not None:
+                    timeout = getattr(live.cfg.server,
                                       "request_timeout_s", None)
                 try:
                     result = await self.submit({
@@ -446,11 +475,22 @@ def main():
     parser.add_argument("--log-level", type=str, default="info",
                         choices=["critical", "error", "warning", "info",
                                  "debug", "trace"])
+    parser.add_argument("--compile-cache", type=str,
+                        default=".jax_cache",
+                        help="persistent XLA compile-cache dir shared "
+                             "across server restarts ('' disables; the "
+                             "flagship graph set takes minutes to compile "
+                             "cold).  TPU-backend only — this jax build's "
+                             "XLA:CPU AOT serialization is unsafe (see "
+                             "tests/conftest.py)")
     args = parser.parse_args()
-    if args.platform:
-        import jax
+    import jax
 
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.compile_cache and args.platform != "cpu":
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     logger.set_level(args.log_level)
     asyncio.run(amain(args))
 
