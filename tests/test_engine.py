@@ -399,3 +399,48 @@ def test_bf16_conditioning_with_bf16_gpt_tree():
                               sr)
     c = e._speaker_conditioning(prompt)
     assert np.isfinite(np.asarray(c["cond_latents"], np.float32)).all()
+
+
+def test_full_serving_profile_composition_e2e():
+    """EVERY serving-profile flag at once on the tiny engine (int8 fused
+    decode + folded readout + int8 KV + fused pipeline + bf16 conditioning
+    + released master trees + fused beam at num_beams=3): the composition
+    must build and synthesize — guards profile-flag interactions the
+    per-flag tests cannot see."""
+    from voice_tts_tpu.audio import encode_wav_int16
+    from voice_tts_tpu.config import TTSConfig
+
+    cfg = TTSConfig.tiny()
+    cfg.apply_serving_profile()
+    cfg.engine.max_prompt_seconds = 1.0
+    cfg.generation.max_mel_tokens = 24
+    # tiny-scale dim wiring (mirrors TTSEngine.tiny)
+    cfg.w2v_bert.feature_projection_input_dim = 160
+    cfg.gpt.condition_module.input_size = cfg.w2v_bert.hidden_size
+    cfg.gpt.emo_condition_module.input_size = cfg.w2v_bert.hidden_size
+    cfg.semantic_codec.hidden_size = cfg.w2v_bert.hidden_size
+    cfg.s2mel.dit.content_dim = cfg.s2mel.length_regulator.channels
+    cfg.s2mel.gpt_dim = cfg.gpt.model_dim
+    cfg.s2mel.gpt_layer_out = cfg.w2v_bert.hidden_size
+    cfg.s2mel.dit.in_channels = cfg.mel.num_mels
+    cfg.s2mel.dit.style_dim = cfg.campplus.embedding_size
+    cfg.s2mel.wavenet.hidden_dim = cfg.s2mel.dit.hidden_dim
+    cfg.vocoder.num_mels = cfg.mel.num_mels
+
+    engine = TTSEngine.random(cfg, seed=0)
+    assert engine.fused_pack is not None
+    assert engine.readout_pack is not None
+    # master trees released to the runtime aliases
+    assert engine.params["gpt"] is engine.params_gpt_rt
+    assert engine.params["w2v"] is engine.params_cond_rt["w2v"]
+
+    sr = 22050
+    t = np.arange(int(0.4 * sr)) / sr
+    prompt = encode_wav_int16((0.4 * np.sin(2 * np.pi * 220 * t)) * 32767,
+                              sr)
+    # beam-3 default (the reference config) through the full profile
+    res = engine.infer(prompt, "profile composition.", None)
+    assert len(res.wav) > 0 and np.isfinite(res.wav).all()
+    # sampling path exercises the folded-readout fused pipeline
+    res2 = engine.infer(prompt, "sampling too.", None, num_beams=1)
+    assert len(res2.wav) > 0 and np.isfinite(res2.wav).all()
