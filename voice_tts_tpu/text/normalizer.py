@@ -349,7 +349,17 @@ def _zh_verbalize(text: str) -> str:
     # plain numbers (thousands separators included: 12,345 -> 一万二千三百四十五)
     text = re.sub(r"\d{1,3}(?:,\d{3})+(?:\.\d+)?",
                   lambda m: zh_read_number(m.group(0)), text)
-    text = re.sub(r"\d+(?:\.\d+)?", lambda m: zh_read_number(m.group(0)), text)
+
+    # leading-zero integers surviving to this point are codes (区号010,
+    # 房间008): digit-wise, like WeTextProcessing's digit class — NOT
+    # int()-collapsed ("零一零", not "十")
+    def plain(m):
+        tok = m.group(0)
+        if tok[0] == "0" and len(tok) > 1 and "." not in tok:
+            return zh_read_digits(tok)
+        return zh_read_number(tok)
+
+    text = re.sub(r"\d+(?:\.\d+)?", plain, text)
     return text
 
 
