@@ -315,3 +315,27 @@ def test_tn_corpus_zh():
         assert got == exp, f"{inp!r}: got {got!r}, want {exp!r}"
         cases += 1
     assert cases >= 200, cases
+
+
+def test_tn_corpus_en():
+    """English golden corpus (tests/data/tn_corpus_en.tsv): the
+    WeTextProcessing en classes the reference loads (`front.py:101,111`) —
+    year/decade readings, money with cents, measures, am/pm times,
+    fractions, temperature, ordinals."""
+    import os
+
+    from voice_tts_tpu.text.normalizer import TextNormalizer
+
+    n = TextNormalizer()
+    n.load()
+    path = os.path.join(os.path.dirname(__file__), "data", "tn_corpus_en.tsv")
+    cases = 0
+    for line in open(path, encoding="utf-8"):
+        line = line.rstrip("\n")
+        if not line or line.startswith("#"):
+            continue
+        inp, exp = line.split("\t")
+        got = n.normalize(inp)
+        assert got == exp, f"{inp!r}: got {got!r}, want {exp!r}"
+        cases += 1
+    assert cases >= 35, cases

@@ -363,6 +363,20 @@ def _zh_verbalize(text: str) -> str:
     return text
 
 
+def en_read_year(y: int) -> str:
+    """Year reading (WeTextProcessing/NeMo en date class): 1985 ->
+    "nineteen eighty-five", 1906 -> "nineteen oh six", 1900 ->
+    "nineteen hundred", 2005 -> "two thousand five"."""
+    hi, lo = divmod(y, 100)
+    if 2000 <= y <= 2009:
+        return "two thousand" + ("" if lo == 0 else " " + en_read_integer(lo))
+    if lo == 0:
+        return en_read_integer(hi) + " hundred"
+    if lo < 10:
+        return en_read_integer(hi) + " oh " + en_read_integer(lo)
+    return en_read_integer(hi) + " " + en_read_integer(lo)
+
+
 def _en_verbalize(text: str) -> str:
     def time_hm(m):
         h, mi = int(m.group(1)), int(m.group(2))
@@ -372,9 +386,41 @@ def _en_verbalize(text: str) -> str:
         else:
             out += " " + ("oh " + en_read_integer(mi) if mi < 10
                           else en_read_integer(mi))
+        if m.group(3) is not None:
+            sec = int(m.group(3))
+            out += " and " + en_read_integer(sec) + (
+                " second" if sec == 1 else " seconds")
+        if m.group(4) is not None:
+            out += " " + m.group(4).lower()
         return out
 
-    text = re.sub(r"(\d{1,2}):(\d{2})\b", time_hm, text)
+    # (?=\D|$) instead of \b: "3:45pm" has no word boundary between the
+    # digit and "p", which previously let the raw colon through (and glued
+    # "pm" onto the verbalized minutes)
+    text = re.sub(r"\b(\d{1,2}):(\d{2})(?::(\d{2}))?\s*([AaPp][Mm])?"
+                  r"(?=\W|$)", time_hm, text)
+
+    # years in date context: "in 1985" -> pairs reading; decades 1990s/80s
+    def decade(m):
+        tok = m.group(1)
+        base = en_read_year(int(tok)) if len(tok) == 4 else en_read_integer(
+            int(tok))
+        head, _, last = base.rpartition(" ")
+        if last == "hundred":
+            last = "hundreds"
+        elif last == "thousand":
+            last = "thousands"
+        elif last.endswith("y"):
+            last = last[:-1] + "ies"
+        else:
+            last += "s"
+        return (head + " " if head else "") + last
+
+    text = re.sub(r"\b((?:1[1-9]|20)\d0|[2-9]0)s\b", decade, text)
+    text = re.sub(r"\b(in|year|since|from|until|till|by|of|around|circa|"
+                  r"early|late|mid)([ -])((?:1[1-9]|20)\d\d)\b",
+                  lambda m: m.group(1) + m.group(2)
+                  + en_read_year(int(m.group(3))), text)
 
     # ordinals: 1st -> first, 23rd -> twenty-third
     _ORD_IRREG = {"one": "first", "two": "second", "three": "third",
@@ -396,8 +442,70 @@ def _en_verbalize(text: str) -> str:
     text = re.sub(r"\b(\d+)(?:st|nd|rd|th)\b", ordinal, text)
     text = re.sub(r"(\d+(?:\.\d+)?)%",
                   lambda m: en_read_number(m.group(1)) + " percent", text)
+
+    # temperature: -5°C -> "minus five degrees celsius" (measure class)
+    text = re.sub(r"(-?)(\d+(?:\.\d+)?)\s*°\s*([CF])\b",
+                  lambda m: ("minus " if m.group(1) else "")
+                  + en_read_number(m.group(2)) + " degrees "
+                  + {"C": "celsius", "F": "fahrenheit"}[m.group(3)], text)
+
+    # money with cents: $3.50 -> "three dollars fifty cents" (money class)
+    def money(m):
+        d, c = int(m.group(1).replace(",", "")), m.group(2)
+        out = en_read_integer(d) + (" dollar" if d == 1 else " dollars")
+        if c is not None and int(c) > 0:
+            cents = int(c)
+            out += " " + en_read_integer(cents) + (
+                " cent" if cents == 1 else " cents")
+        return out
+
+    text = re.sub(r"\$(\d{1,3}(?:,\d{3})*|\d+)(?:\.(\d{2}))?(?![\d,]|\.\d)",
+                  money, text)
     text = re.sub(r"\$(\d+(?:\.\d+)?)",
                   lambda m: en_read_number(m.group(1)) + " dollars", text)
+
+    # fractions: 1/2 -> "one half", 3/4 -> "three quarters", 2/5 ->
+    # "two fifths" (numerator cardinal + ordinal denominator)
+    def fraction(m):
+        num, den = int(m.group(1)), int(m.group(2))
+        if den == 2:
+            d = "half" if num == 1 else "halves"
+        elif den == 4:
+            d = "quarter" + ("" if num == 1 else "s")
+        else:
+            d = ordinal(_FakeMatch(str(den)))
+            if num != 1:
+                d += "s"
+        return en_read_integer(num) + " " + d
+
+    class _FakeMatch:
+        def __init__(self, s):
+            self.s = s
+
+        def group(self, i):
+            return self.s
+
+    # (no '/'-adjacency so 05/06/2023 date slashes are left alone)
+    text = re.sub(r"(?<![\d/])(\d{1,2})/(\d{1,3})(?![\d/])", fraction, text)
+
+    # number-adjacent measure abbreviations (measure class subset; only
+    # directly after a number so bare words stay words)
+    _UNITS = {"km": "kilometer", "cm": "centimeter", "mm": "millimeter",
+              "kg": "kilogram", "ft": "foot", "mi": "mile", "lb": "pound",
+              "lbs": "pounds", "oz": "ounce", "mph": "miles per hour",
+              "ml": "milliliter", "kmh": "kilometers per hour"}
+    _UNIT_PLURAL = {"foot": "feet", "pounds": "pounds",
+                    "miles per hour": "miles per hour",
+                    "kilometers per hour": "kilometers per hour"}
+
+    def unit(m):
+        n, u = m.group(1), _UNITS[m.group(2).lower()]
+        if float(n) != 1:
+            u = _UNIT_PLURAL.get(u, u + "s")
+        return n + " " + u
+
+    text = re.sub(r"(\d+(?:\.\d+)?) ?(" + "|".join(_UNITS) + r")\b",
+                  unit, text, flags=re.IGNORECASE)
     # split letter-digit boundaries so "beta2" reads "beta two" and
     # "F5-TTS" reads "f five-tts" (reference `front.py:473-476` cases)
     text = re.sub(r"([a-zA-Z])(\d)", r"\1 \2", text)
