@@ -449,6 +449,11 @@ class ServerConfig:
     log_level: str = "info"
     request_timeout_s: float = 300.0
     download_timeout_s: float = 30.0
+    # precompile the default request path at boot, before /health goes
+    # ready: on a cold compile cache the first /tts request otherwise pays
+    # the whole beam-3 + synthesis compile inside the 300 s request window
+    # and 504s (wave-L server bench finding)
+    warmup: bool = True
     # drain budget on SIGTERM/SIGINT (reference `gunicorn_config.py:21`)
     graceful_timeout_s: float = 30.0
     max_batch_size: int = 8  # batching cap per decode step / slot count

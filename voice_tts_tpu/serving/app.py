@@ -123,6 +123,35 @@ class TTSService:
             self.engines.append(factory(i))
         logger.success("loaded %d engine replica(s) on %s", len(self.engines),
                        jax.default_backend())
+        if not tiny and getattr(self.engines[0].cfg.server, "warmup", True):
+            self._warmup()
+
+    def _warmup(self):
+        """Precompile the default request path BEFORE /health goes ready.
+
+        With a cold compile cache, the first /tts request otherwise pays
+        the full beam-3 megakernel + synthesis compile inside the request
+        window and 504s at `request_timeout_s` (= the reference's 300 s
+        gunicorn timeout, `gunicorn_config.py:21`) — measured in wave L's
+        server bench.  Boot time absorbs the compile instead; the
+        persistent cache makes later boots fast."""
+        import time as _time
+
+        import numpy as np
+
+        from voice_tts_tpu.audio import encode_wav_int16
+
+        sr = 16000
+        t = np.arange(2 * sr) / sr
+        tone = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        wav = encode_wav_int16(tone, sr)
+        t0 = _time.time()
+        for i, engine in enumerate(self.engines):
+            try:
+                engine.infer(wav, "预热。")
+            except Exception as exc:  # noqa: BLE001 — warmup is best-effort
+                logger.warning("warmup failed on replica %d: %s", i, exc)
+        logger.info("warmup compiles done in %.1f s", _time.time() - t0)
 
     async def start_workers(self):
         for i, engine in enumerate(self.engines):
