@@ -394,10 +394,12 @@ def _en_verbalize(text: str) -> str:
             out += " " + m.group(4).lower()
         return out
 
-    # (?=\D|$) instead of \b: "3:45pm" has no word boundary between the
+    # (?=\W|$) instead of \b: "3:45pm" has no word boundary between the
     # digit and "p", which previously let the raw colon through (and glued
-    # "pm" onto the verbalized minutes)
-    text = re.sub(r"\b(\d{1,2}):(\d{2})(?::(\d{2}))?\s*([AaPp][Mm])?"
+    # "pm" onto the verbalized minutes).  Minutes/seconds restricted to
+    # [0-5]\d like the zh time rule — "99:99" is a score/ratio, not a time,
+    # and falls through to the other numeric readings
+    text = re.sub(r"\b(\d{1,2}):([0-5]\d)(?::([0-5]\d))?\s*([AaPp][Mm])?"
                   r"(?=\W|$)", time_hm, text)
 
     # years in date context: "in 1985" -> pairs reading; decades 1990s/80s
@@ -417,10 +419,12 @@ def _en_verbalize(text: str) -> str:
         return (head + " " if head else "") + last
 
     text = re.sub(r"\b((?:1[1-9]|20)\d0|[2-9]0)s\b", decade, text)
+    # IGNORECASE: sentence-initial context words ("Since 1906") must get the
+    # year reading too; group(1) passes the original casing through
     text = re.sub(r"\b(in|year|since|from|until|till|by|of|around|circa|"
                   r"early|late|mid)([ -])((?:1[1-9]|20)\d\d)\b",
                   lambda m: m.group(1) + m.group(2)
-                  + en_read_year(int(m.group(3))), text)
+                  + en_read_year(int(m.group(3))), text, flags=re.IGNORECASE)
 
     # ordinals: 1st -> first, 23rd -> twenty-third
     _ORD_IRREG = {"one": "first", "two": "second", "three": "third",
@@ -452,9 +456,13 @@ def _en_verbalize(text: str) -> str:
     # money with cents: $3.50 -> "three dollars fifty cents" (money class)
     def money(m):
         d, c = int(m.group(1).replace(",", "")), m.group(2)
+        cents = int(c) if c is not None else 0
+        if d == 0 and cents > 0:
+            # "$0.50" reads as just the cents phrase (reference money class)
+            return en_read_integer(cents) + (" cent" if cents == 1
+                                             else " cents")
         out = en_read_integer(d) + (" dollar" if d == 1 else " dollars")
-        if c is not None and int(c) > 0:
-            cents = int(c)
+        if cents > 0:
             out += " " + en_read_integer(cents) + (
                 " cent" if cents == 1 else " cents")
         return out
