@@ -401,6 +401,42 @@ def test_bf16_conditioning_with_bf16_gpt_tree():
     assert np.isfinite(np.asarray(c["cond_latents"], np.float32)).all()
 
 
+def test_infer_batch_request_batched_beam_matches_sequential():
+    """`infer_batch` at beam-3 with the megakernel packs request PAIRS into
+    one 6-row kernel (`engine._beam_jobs_fused`).  Forcing
+    `beam_batch_rows=3` (one request per kernel call) reproduces the old
+    sequential path with the SAME per-job fold_in keys — so batched and
+    sequential runs must emit bit-identical audio."""
+    from voice_tts_tpu.config import TTSConfig
+    from voice_tts_tpu.engine import TTSEngine
+
+    cfg = TTSConfig.tiny()
+    cfg.engine.use_int8_decode = True
+    cfg.engine.use_fused_decode = True
+    cfg.engine.use_fused_beam_decode = True
+    cfg.generation.num_beams = 3
+    cfg.generation.max_mel_tokens = 24
+    cfg.engine.max_prompt_seconds = 1.0
+    engine = TTSEngine.random(cfg, seed=0)
+    assert engine.fused_pack is not None
+
+    sr = 22050
+    t = np.arange(int(0.4 * sr)) / sr
+    p1 = encode_wav_int16((0.4 * np.sin(2 * np.pi * 220 * t)) * 32767, sr)
+    reqs = [{"spk_audio_prompt": p1, "text": "one two."},
+            {"spk_audio_prompt": p1, "text": "three."},
+            {"spk_audio_prompt": p1, "text": "five six seven."}]
+
+    rng0 = engine._rng
+    engine.cfg.engine.beam_batch_rows = 8      # batched pairs (default)
+    res_b = engine.infer_batch(reqs)
+    engine._rng = rng0                          # same decode keys
+    engine.cfg.engine.beam_batch_rows = 3      # r_cap=1 -> sequential
+    res_s = engine.infer_batch(reqs)
+    for rb, rs in zip(res_b, res_s):
+        np.testing.assert_array_equal(rb.wav, rs.wav)
+
+
 def test_full_serving_profile_composition_e2e():
     """EVERY serving-profile flag at once on the tiny engine (int8 fused
     decode + folded readout + int8 KV + fused pipeline + bf16 conditioning

@@ -645,6 +645,51 @@ def test_fused_beam_matches_xla(setup):
                                   np.asarray(res_x.codes))
 
 
+def test_request_batched_beam_matches_sequential(setup):
+    """`beam_decode_fused_batch` (R requests x K beams in ONE R*K-row
+    megakernel) reproduces the sequential per-request fused beam decode
+    bit-for-bit — rows are independent in the kernel (grouped ancestor
+    tables never cross a request boundary, and the forced bt=128 block
+    length matches the K-row call's), so feeding each request the key the
+    sequential path would use must give identical codes.  Covers greedy,
+    beam SAMPLING (the reference default), and the int8-KV variant."""
+    from voice_tts_tpu.models.gpt.beam import (beam_decode,
+                                               beam_decode_fused_batch)
+
+    model, qparams, pack = setup
+    cond = jax.random.normal(jax.random.PRNGKey(1),
+                             (2, CFG.condition_num_latent, CFG.model_dim),
+                             jnp.bfloat16)
+    emo = jax.random.normal(jax.random.PRNGKey(2), (2, CFG.model_dim),
+                            jnp.bfloat16)
+    text = jnp.asarray([[3, 5, 7, 2, 9, 4, 0, 0],
+                        [8, 1, 2, 6, 0, 0, 0, 0]], dtype=jnp.int32)
+    tlen = jnp.asarray([6, 4])
+    keys = jnp.stack([jax.random.fold_in(jax.random.PRNGKey(3), i)
+                      for i in range(2)])
+
+    for gen, int8_kv in [
+        (GenerationConfig(do_sample=False, num_beams=3,
+                          repetition_penalty=10.0), False),
+        (GenerationConfig(do_sample=True, num_beams=3, top_k=30, top_p=0.8,
+                          temperature=0.8, repetition_penalty=10.0), False),
+        (GenerationConfig(do_sample=True, num_beams=3, top_k=30, top_p=0.8,
+                          temperature=0.8, repetition_penalty=10.0), True),
+    ]:
+        seq = [beam_decode(qparams, model, gen, cond[i:i + 1], emo[i:i + 1],
+                           text[i:i + 1], tlen[i:i + 1], keys[i], 12,
+                           fused_pack=pack, int8_kv=int8_kv)
+               for i in range(2)]
+        bat = beam_decode_fused_batch(qparams, model, gen, cond, emo, text,
+                                      tlen, keys, 12, fused_pack=pack,
+                                      int8_kv=int8_kv)
+        for i in range(2):
+            np.testing.assert_array_equal(np.asarray(bat.codes[i]),
+                                          np.asarray(seq[i].codes[0]))
+            assert int(bat.lengths[i]) == int(seq[i].lengths[0])
+            assert bool(bat.hit_limit[i]) == bool(seq[i].hit_limit[0])
+
+
 def test_fused_batch_int4_full_decode(setup):
     """Batched decode with the int4 pack produces valid codes at batch 2."""
     from voice_tts_tpu.ops.fused_decode import pack_gpt_int4

@@ -364,6 +364,14 @@ class EngineConfig:
     # each step is one Pallas call over the K beams + an XLA cache-row
     # reorder.  Requires use_fused_decode's pack and K <= 8
     use_fused_beam_decode: bool = False
+    # REQUEST-BATCHED beam decode: `infer_batch` packs up to
+    # beam_batch_rows // num_beams concurrent beam jobs into one
+    # R*K-row megakernel (rows per request grouped, per-request ancestor
+    # tables) so the weight stream amortizes across requests the way the
+    # sampling path batches.  8 -> 2 requests at the beam-3 default; the
+    # kernel supports up to 12 rows (A/B per hardware).  Only meaningful
+    # with use_fused_beam_decode and num_beams <= 4
+    beam_batch_rows: int = 8
     # run teacher-forced latent + s2mel + vocoder as ONE jitted graph with a
     # single host sync (each extra sync costs a round trip on remote-attached
     # chips); per-stage timers require fuse_synthesis=False

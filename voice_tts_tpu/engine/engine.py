@@ -36,7 +36,8 @@ from voice_tts_tpu.logging import logger
 from voice_tts_tpu.models.conditioning import CAMPPlus, RepCodec, Wav2Vec2Bert
 from voice_tts_tpu.models.conditioning.repcodec import repcodec_vq2emb
 from voice_tts_tpu.models.gpt import UnifiedVoice
-from voice_tts_tpu.models.gpt.beam import beam_decode, beam_decode_batch
+from voice_tts_tpu.models.gpt.beam import (beam_decode, beam_decode_batch,
+                                           beam_decode_fused_batch)
 from voice_tts_tpu.models.gpt.decode import DecodeResult
 from voice_tts_tpu.models.gpt.decode import decode as gpt_decode
 from voice_tts_tpu.models.gpt.decode import spec_decode
@@ -1214,6 +1215,69 @@ class TTSEngine:
             b *= 2
         return b
 
+    def _beam_jobs_fused(self, jobs, gen, cond, emo, text, lens, sub):
+        """Decode beam-K jobs on the megakernel, REQUEST-BATCHED.
+
+        Round 4 decoded beam jobs sequentially ("beams ride the megakernel
+        one request at a time"), so a c16 burst at the production beam-3
+        default degraded to worse-than-serial (server bench: aggregate RTF
+        0.2804 vs the sampling path's 0.0628).  `beam_decode_fused_batch`
+        packs R requests x K beams into one R*K-row kernel whose weight
+        stream — the dominant decode cost — is read once per step for all
+        R requests.  Chunks of `engine.beam_batch_rows // K` requests,
+        padded to a power of 2 so distinct group sizes share compiled
+        graphs; a single job (or K > 4, which the ancestor table cannot
+        serve) keeps the historical single-request path and RNG stream.
+        """
+        e = self.cfg.engine
+        pack = self._beam_fused_pack()
+        k = gen.num_beams
+        n = len(jobs)
+        r_cap = (max(1, getattr(e, "beam_batch_rows", 8) // k)
+                 if (pack is not None and k <= 4) else 1)
+
+        def run_single(i, key):
+            return beam_decode(
+                self.params_gpt_rt, self.gpt, gen, cond[i:i + 1],
+                emo[i:i + 1], jnp.asarray(text[i:i + 1]),
+                jnp.asarray(lens[i:i + 1]), key,
+                max_new=gen.max_mel_tokens, fused_pack=pack,
+                int8_kv=e.use_int8_kv, int4_expand=e.int4_expand,
+                merge_stages=e.merge_decode_stages,
+                readout_pack=self.readout_pack)
+
+        if n == 1:
+            # single-job calls keep the historical RNG stream (sub directly);
+            # fold_in only differentiates true multi-job runs
+            return run_single(0, sub)
+        results = []
+        i = 0
+        while i < n:
+            rn = min(r_cap, n - i)
+            if rn == 1:
+                results.append(run_single(i, jax.random.fold_in(sub, i)))
+                i += 1
+                continue
+            rb = 1 << (rn - 1).bit_length()   # pow2 pad bounds graph count
+            rows = list(range(i, i + rn)) + [i] * (rb - rn)
+            idx = jnp.asarray(rows)
+            keys = jnp.stack([jax.random.fold_in(sub, j) for j in rows])
+            res = beam_decode_fused_batch(
+                self.params_gpt_rt, self.gpt, gen,
+                jnp.take(cond, idx, axis=0), jnp.take(emo, idx, axis=0),
+                jnp.asarray(text[rows]), jnp.asarray(lens[rows]), keys,
+                max_new=gen.max_mel_tokens, fused_pack=pack,
+                int8_kv=e.use_int8_kv, int4_expand=e.int4_expand,
+                merge_stages=e.merge_decode_stages,
+                readout_pack=self.readout_pack)
+            results.append(DecodeResult(res.codes[:rn], res.lengths[:rn],
+                                        res.hit_limit[:rn]))
+            i += rn
+        return DecodeResult(
+            jnp.concatenate([r.codes for r in results]),
+            jnp.concatenate([r.lengths for r in results]),
+            jnp.concatenate([r.hit_limit for r in results]))
+
     def _decode_jobs(self, jobs: List[dict], bucket: int, gen) -> None:
         cfg = self.cfg
         # pad the batch to a power-of-2 bucket so distinct group sizes don't
@@ -1243,30 +1307,7 @@ class TTSEngine:
                              fused_batch=self.cfg.engine.use_fused_batch_decode,
                              readout_pack=self.readout_pack)
         elif len(jobs) == 1 or self._beam_fused_pack() is not None:
-            # beams ride the megakernel one request at a time: the vmapped
-            # XLA beam batch pays the physical cache reorder PER VMAP LANE
-            # (measured 9.5 ms/token on long-form segments — 7x the
-            # sequential fused beam), so with a pack available sequential
-            # fused decode wins even before batching
-            results = []
-            for i in range(len(jobs)):
-                # single-job calls keep the historical RNG stream (sub
-                # directly); fold_in only differentiates true multi-job runs
-                sub_i = sub if len(jobs) == 1 else jax.random.fold_in(sub, i)
-                results.append(beam_decode(
-                    self.params_gpt_rt, self.gpt, gen, cond[i:i + 1],
-                    emo[i:i + 1], jnp.asarray(text[i:i + 1]),
-                    jnp.asarray(lens[i:i + 1]), sub_i,
-                    max_new=gen.max_mel_tokens,
-                    fused_pack=self._beam_fused_pack(),
-                    int8_kv=self.cfg.engine.use_int8_kv,
-                    int4_expand=self.cfg.engine.int4_expand,
-                    merge_stages=self.cfg.engine.merge_decode_stages,
-                    readout_pack=self.readout_pack))
-            res = DecodeResult(
-                jnp.concatenate([r.codes for r in results]),
-                jnp.concatenate([r.lengths for r in results]),
-                jnp.concatenate([r.hit_limit for r in results]))
+            res = self._beam_jobs_fused(jobs, gen, cond, emo, text, lens, sub)
         else:
             res = beam_decode_batch(self.params_gpt_rt, self.gpt, gen, cond,
                                     emo, jnp.asarray(text), jnp.asarray(lens),

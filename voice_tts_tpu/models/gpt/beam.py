@@ -114,6 +114,135 @@ def _length_penalize(sum_logprobs, length, length_penalty: float):
                                     length_penalty)
 
 
+def _candidates(logits, presence, beam_scores, rng, gen: GenerationConfig,
+                k: int, vocab: int):
+    """2K sorted candidates, computed in per-beam top-k CANDIDATE SPACE.
+
+    The naive pipeline (`_process_scores` + flat ops over (K, V)) pays a
+    full-vocab argsort per step inside `apply_top_p` — the dominant
+    non-trunk beam-step cost on TPU (sorts are serial-ish on the VPU).
+    Same trick as `decode.sample_token`: everything the warpers keep
+    lives inside each beam's descending top-nk entries, so top-p's
+    "remove while ascending-cumulative <= 1-p" becomes "remove rank j
+    when cumulative-before-j >= p" with NO sort, and the Gumbel /
+    selection ops shrink from K*V to K*nk lanes.  Distribution and
+    selected sets are exactly the full-vocab pipeline's (masked entries
+    sit at float-min in both and cannot win); only the RNG lane layout
+    differs.  The (rare, opt-in) typical-sampling path keeps the
+    full-vocab pipeline.
+    """
+    logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    n_keep = 2 * k
+    if gen.typical_sampling or not gen.do_sample:
+        processed = _process_scores(logprobs, presence, gen)
+        scores = processed + beam_scores[:, None]
+        flat = scores.reshape(-1)
+        if gen.do_sample:
+            # multinomial without replacement == Gumbel top-k on log-probs
+            flat_lp = jax.nn.log_softmax(flat)
+            g = flat_lp - jnp.log(-jnp.log(jax.random.uniform(
+                rng, flat.shape, minval=1e-20, maxval=1.0)))
+            _, idx = jax.lax.top_k(g, n_keep)
+            cand_scores = flat[idx]
+            order = jnp.argsort(-cand_scores)
+            idx = idx[order]
+            cand_scores = cand_scores[order]
+        else:
+            cand_scores, idx = jax.lax.top_k(flat, n_keep)
+        return cand_scores, idx // vocab, idx % vocab
+
+    s = apply_repetition_penalty(logprobs, presence,
+                                 gen.repetition_penalty)
+    if gen.temperature != 1.0:
+        s = s / gen.temperature
+    top_vals, top_idx = warp_candidate_space(s, gen.top_k, gen.top_p,
+                                             n_keep)
+    cand = top_vals + beam_scores[:, None]            # (K, nk)
+    nk = top_vals.shape[-1]
+    flat = cand.reshape(-1)
+    # log_softmax over the candidate space == over the (K*V,) flat row:
+    # every excluded entry is at float-min there too and adds ~0 mass
+    flat_lp = jax.nn.log_softmax(flat)
+    g = flat_lp - jnp.log(-jnp.log(jax.random.uniform(
+        rng, flat.shape, minval=1e-20, maxval=1.0)))
+    _, idx = jax.lax.top_k(g, n_keep)
+    cand_scores = flat[idx]
+    order = jnp.argsort(-cand_scores)
+    idx = idx[order]
+    cand_scores = cand_scores[order]
+    beams = idx // nk
+    tokens = top_idx[beams, idx % nk]
+    return cand_scores, beams, tokens
+
+
+def _scorer_step(step, done, pool_scores_in, pool_seqs_in, pool_lens_in,
+                 tokens_in, cand_scores, cand_beams, cand_tokens,
+                 gen: GenerationConfig, k: int, eos: int):
+    """BeamSearchScorer.process equivalent over 2K sorted candidates."""
+    is_eos = cand_tokens == eos
+    ranks = jnp.arange(2 * k)
+
+    # --- hypothesis pool: eos candidates with rank < K.  ONE top-k over
+    # the union [pool | admissible candidates] replaces the sequential
+    # 2K-iteration argmin/insert loop (the loop semantics — replace the
+    # worst pooled entry whenever a new hypothesis beats it — select
+    # exactly the K best of the union, and candidate scores within a
+    # step are distinct from ties' perspective the same way HF's
+    # sequential adds resolve them).  ~35 fewer tiny XLA ops per decode
+    # step, which the beam step's launch overhead is dominated by.
+    gen_len = step  # tokens generated before this step's token
+    add = is_eos & (ranks < k) & ~done
+    hyp_scores = _length_penalize(cand_scores, gen_len + 1,
+                                  gen.length_penalty)
+    cand_pool_scores = jnp.where(add, hyp_scores, jnp.float32(4 * NEG))
+    union_scores = jnp.concatenate([pool_scores_in, cand_pool_scores])
+    top_scores, top_idx = jax.lax.top_k(union_scores, k)
+    # entries from the old pool keep their seq/len; candidate entries
+    # take the parent beam's tokens and the current generated length
+    from_pool = top_idx < k
+    cand_sel = jnp.clip(top_idx - k, 0, 2 * k - 1)
+    pool_idx = jnp.clip(top_idx, 0, k - 1)
+    new_seqs = tokens_in[cand_beams[cand_sel]]
+    pool_scores = top_scores
+    pool_seqs = jnp.where(from_pool[:, None],
+                          pool_seqs_in[pool_idx], new_seqs)
+    pool_lens = jnp.where(from_pool, pool_lens_in[pool_idx],
+                          jnp.broadcast_to(gen_len, (k,)))
+
+    # --- next beams: first K non-eos candidates in order
+    sel_key = is_eos.astype(jnp.int32) * (4 * k) + ranks
+    sel = jnp.argsort(sel_key)[:k]
+    next_scores = cand_scores[sel]
+    next_beams = cand_beams[sel]
+    next_tokens = cand_tokens[sel]
+
+    # --- is_done (early_stopping=False): pool full and the worst pooled
+    # score can't be beaten by the best running candidate
+    pool_full = jnp.all(pool_scores > NEG / 2)
+    best_running = _length_penalize(
+        jnp.max(cand_scores), gen_len + 1, gen.length_penalty)
+    done = done | (pool_full & (jnp.min(pool_scores) >= best_running))
+    return (pool_scores, pool_seqs, pool_lens, next_scores, next_beams,
+            next_tokens, done)
+
+
+def _finalize_pool(pool_scores, pool_seqs, pool_lens, beam_scores, tokens,
+                   step, done, gen: GenerationConfig, k: int):
+    """Running beams enter the pool when the length limit ran out."""
+    ran_out = ~done
+    for c in range(k):
+        score = _length_penalize(beam_scores[c], step, gen.length_penalty)
+        worst = jnp.argmin(pool_scores)
+        do_add = ran_out & (score > pool_scores[worst])
+        pool_scores = jnp.where(do_add, pool_scores.at[worst].set(score),
+                                pool_scores)
+        pool_seqs = jnp.where(do_add, pool_seqs.at[worst].set(tokens[c]),
+                              pool_seqs)
+        pool_lens = jnp.where(do_add, pool_lens.at[worst].set(step),
+                              pool_lens)
+    return pool_scores, pool_seqs, pool_lens
+
+
 @functools.partial(jax.jit,
                    static_argnames=("model", "gen", "max_new", "int8_kv",
                                     "int4_expand", "merge_stages"))
@@ -187,120 +316,15 @@ def beam_decode(params, model: UnifiedVoice, gen: GenerationConfig,
 
     beam_scores0 = jnp.full((k,), NEG, dtype=jnp.float32).at[0].set(0.0)
 
-    def candidates(logits, presence, beam_scores, rng):
-        """2K sorted candidates, computed in per-beam top-k CANDIDATE SPACE.
-
-        The naive pipeline (`_process_scores` + flat ops over (K, V)) pays a
-        full-vocab argsort per step inside `apply_top_p` — the dominant
-        non-trunk beam-step cost on TPU (sorts are serial-ish on the VPU).
-        Same trick as `decode.sample_token`: everything the warpers keep
-        lives inside each beam's descending top-nk entries, so top-p's
-        "remove while ascending-cumulative <= 1-p" becomes "remove rank j
-        when cumulative-before-j >= p" with NO sort, and the Gumbel /
-        selection ops shrink from K*V to K*nk lanes.  Distribution and
-        selected sets are exactly the full-vocab pipeline's (masked entries
-        sit at float-min in both and cannot win); only the RNG lane layout
-        differs.  The (rare, opt-in) typical-sampling path keeps the
-        full-vocab pipeline.
-        """
-        logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        n_keep = 2 * k
-        if gen.typical_sampling or not gen.do_sample:
-            processed = _process_scores(logprobs, presence, gen)
-            scores = processed + beam_scores[:, None]
-            flat = scores.reshape(-1)
-            if gen.do_sample:
-                # multinomial without replacement == Gumbel top-k on log-probs
-                flat_lp = jax.nn.log_softmax(flat)
-                g = flat_lp - jnp.log(-jnp.log(jax.random.uniform(
-                    rng, flat.shape, minval=1e-20, maxval=1.0)))
-                _, idx = jax.lax.top_k(g, n_keep)
-                cand_scores = flat[idx]
-                order = jnp.argsort(-cand_scores)
-                idx = idx[order]
-                cand_scores = cand_scores[order]
-            else:
-                cand_scores, idx = jax.lax.top_k(flat, n_keep)
-            return cand_scores, idx // vocab, idx % vocab
-
-        s = apply_repetition_penalty(logprobs, presence,
-                                     gen.repetition_penalty)
-        if gen.temperature != 1.0:
-            s = s / gen.temperature
-        top_vals, top_idx = warp_candidate_space(s, gen.top_k, gen.top_p,
-                                                 n_keep)
-        cand = top_vals + beam_scores[:, None]            # (K, nk)
-        nk = top_vals.shape[-1]
-        flat = cand.reshape(-1)
-        # log_softmax over the candidate space == over the (K*V,) flat row:
-        # every excluded entry is at float-min there too and adds ~0 mass
-        flat_lp = jax.nn.log_softmax(flat)
-        g = flat_lp - jnp.log(-jnp.log(jax.random.uniform(
-            rng, flat.shape, minval=1e-20, maxval=1.0)))
-        _, idx = jax.lax.top_k(g, n_keep)
-        cand_scores = flat[idx]
-        order = jnp.argsort(-cand_scores)
-        idx = idx[order]
-        cand_scores = cand_scores[order]
-        beams = idx // nk
-        tokens = top_idx[beams, idx % nk]
-        return cand_scores, beams, tokens
-
-    def scorer_step(state: _BeamState, cand_scores, cand_beams, cand_tokens):
-        """BeamSearchScorer.process equivalent over 2K sorted candidates."""
-        is_eos = cand_tokens == eos
-        ranks = jnp.arange(2 * k)
-
-        # --- hypothesis pool: eos candidates with rank < K.  ONE top-k over
-        # the union [pool | admissible candidates] replaces the sequential
-        # 2K-iteration argmin/insert loop (the loop semantics — replace the
-        # worst pooled entry whenever a new hypothesis beats it — select
-        # exactly the K best of the union, and candidate scores within a
-        # step are distinct from ties' perspective the same way HF's
-        # sequential adds resolve them).  ~35 fewer tiny XLA ops per decode
-        # step, which the beam step's launch overhead is dominated by.
-        gen_len = state.step  # tokens generated before this step's token
-        add = is_eos & (ranks < k) & ~state.done
-        hyp_scores = _length_penalize(cand_scores, gen_len + 1,
-                                      gen.length_penalty)
-        cand_pool_scores = jnp.where(add, hyp_scores, jnp.float32(4 * NEG))
-        union_scores = jnp.concatenate([state.pool_scores, cand_pool_scores])
-        top_scores, top_idx = jax.lax.top_k(union_scores, k)
-        # entries from the old pool keep their seq/len; candidate entries
-        # take the parent beam's tokens and the current generated length
-        from_pool = top_idx < k
-        cand_sel = jnp.clip(top_idx - k, 0, 2 * k - 1)
-        pool_idx = jnp.clip(top_idx, 0, k - 1)
-        new_seqs = state.tokens[cand_beams[cand_sel]]
-        pool_scores = top_scores
-        pool_seqs = jnp.where(from_pool[:, None],
-                              state.pool_seqs[pool_idx], new_seqs)
-        pool_lens = jnp.where(from_pool, state.pool_lens[pool_idx],
-                              jnp.broadcast_to(gen_len, (k,)))
-
-        # --- next beams: first K non-eos candidates in order
-        sel_key = is_eos.astype(jnp.int32) * (4 * k) + ranks
-        sel = jnp.argsort(sel_key)[:k]
-        next_scores = cand_scores[sel]
-        next_beams = cand_beams[sel]
-        next_tokens = cand_tokens[sel]
-
-        # --- is_done (early_stopping=False): pool full and the worst pooled
-        # score can't be beaten by the best running candidate
-        pool_full = jnp.all(pool_scores > NEG / 2)
-        best_running = _length_penalize(
-            jnp.max(cand_scores), gen_len + 1, gen.length_penalty)
-        done = state.done | (pool_full & (jnp.min(pool_scores) >= best_running))
-        return (pool_scores, pool_seqs, pool_lens, next_scores, next_beams,
-                next_tokens, done)
-
     def make_step(state: _BeamState, logits) -> _BeamState:
         rng, sub = jax.random.split(state.rng)
-        cand_scores, cand_beams, cand_tokens = candidates(
-            logits, state.presence, state.beam_scores, sub)
+        cand_scores, cand_beams, cand_tokens = _candidates(
+            logits, state.presence, state.beam_scores, sub, gen, k, vocab)
         (pool_scores, pool_seqs, pool_lens, next_scores, next_beams,
-         next_tokens, done) = scorer_step(state, cand_scores, cand_beams,
-                                          cand_tokens)
+         next_tokens, done) = _scorer_step(
+            state.step, state.done, state.pool_scores, state.pool_seqs,
+            state.pool_lens, state.tokens, cand_scores, cand_beams,
+            cand_tokens, gen, k, eos)
 
         tokens = state.tokens[next_beams]
         tokens = jax.lax.dynamic_update_slice(
@@ -380,20 +404,10 @@ def beam_decode(params, model: UnifiedVoice, gen: GenerationConfig,
     final = jax.lax.while_loop(cond_fn, body_fn, state1)
 
     # finalize: running beams enter the pool when length ran out
-    pool_scores, pool_seqs, pool_lens = (final.pool_scores, final.pool_seqs,
-                                         final.pool_lens)
+    pool_scores, pool_seqs, pool_lens = _finalize_pool(
+        final.pool_scores, final.pool_seqs, final.pool_lens,
+        final.beam_scores, final.tokens, final.step, final.done, gen, k)
     ran_out = ~final.done
-    for c in range(k):
-        score = _length_penalize(final.beam_scores[c], final.step,
-                                 gen.length_penalty)
-        worst = jnp.argmin(pool_scores)
-        do_add = ran_out & (score > pool_scores[worst])
-        pool_scores = jnp.where(do_add, pool_scores.at[worst].set(score),
-                                pool_scores)
-        pool_seqs = jnp.where(do_add, pool_seqs.at[worst].set(final.tokens[c]),
-                              pool_seqs)
-        pool_lens = jnp.where(do_add, pool_lens.at[worst].set(final.step),
-                              pool_lens)
 
     best = jnp.argmax(pool_scores)
     seq = pool_seqs[best][None, :]
@@ -406,6 +420,192 @@ def beam_decode(params, model: UnifiedVoice, gen: GenerationConfig,
     # mark everything past gen_len with the stop token
     posn = jnp.arange(max_new)[None, :]
     seq = jnp.where(posn < gen_len, seq, eos)
+    return DecodeResult(seq, lengths, hit_limit)
+
+
+class _BeamStateB(NamedTuple):
+    step: jnp.ndarray
+    tokens: jnp.ndarray        # (R, K, max_new)
+    beam_scores: jnp.ndarray   # (R, K)
+    cache: jnp.ndarray         # time-major (L, 2, R*K, Tmax, D) (or q pair)
+    src: jnp.ndarray           # (R*K, Tmax) i32 GLOBAL-row ancestor table
+    presence: jnp.ndarray      # (R, K, V)
+    last_tokens: jnp.ndarray   # (R*K,)
+    pool_scores: jnp.ndarray   # (R, K)
+    pool_seqs: jnp.ndarray     # (R, K, max_new)
+    pool_lens: jnp.ndarray     # (R, K)
+    done: jnp.ndarray          # (R,)
+    rngs: jnp.ndarray          # (R, 2) per-request PRNG keys
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("model", "gen", "max_new", "int8_kv",
+                                    "int4_expand", "merge_stages"))
+def beam_decode_fused_batch(params, model: UnifiedVoice,
+                            gen: GenerationConfig,
+                            cond_latents: jnp.ndarray, emo_vec: jnp.ndarray,
+                            text_tokens: jnp.ndarray,
+                            text_lengths: jnp.ndarray,
+                            rngs: jnp.ndarray, max_new: int,
+                            fused_pack: FusedDecodePack,
+                            int8_kv: bool = False, int4_expand: bool = False,
+                            merge_stages: bool | int = False,
+                            readout_pack=None) -> DecodeResult:
+    """REQUEST-BATCHED K-beam search on the megakernel: R requests x K beams
+    = R*K kernel rows per step.
+
+    This is the serving path the reference scales with per-GPU gunicorn
+    forks (`gunicorn_config.py:43-60` — its beam-3 default never shares a
+    GPU): here concurrent beam-3 requests share ONE chip's weight stream.
+    The trunk's weight DMA (the dominant decode cost) is read once per step
+    for ALL R requests instead of once per request — `engine.infer_batch`
+    previously decoded beam jobs sequentially, which is why the round-4
+    server burst measured 4.5x worse than engine-level serving.
+
+    Semantics: each request runs EXACTLY `beam_decode`'s search (same
+    candidate warping, scorer, pool, finalize — the shared `_candidates` /
+    `_scorer_step` / `_finalize_pool` helpers, vmapped over R).  Requests
+    step in lockstep; a finished request's hypothesis pool freezes (its
+    rows keep computing, masked out of every pool update) until all are
+    done, like `beam_decode_batch`.  `rngs` is (R, 2) per-request keys —
+    feeding request i the key the sequential path would have used
+    reproduces its output bit-for-bit (the per-row kernel math is
+    row-independent and runs at the same 128-aligned KV block length).
+
+    Jobs must share a text bucket (same padded `text_tokens` width), which
+    `engine._decode_jobs` guarantees — the prompt length p is then shared
+    and all rows decode at one scalar position.
+    """
+    cfg: GPTConfig = model.cfg
+    k = gen.num_beams
+    r, bl = text_tokens.shape
+    nrows = r * k
+    assert fused_pack is not None and k <= 4 and nrows <= 12
+    assert not cfg.pallas_decode_attention
+    p = n_cond_latents(cfg) + 2 + bl + 2
+    t_max = p + 1 + max_new
+    t_max += (-t_max) % FUSED_BLOCK_T
+    vocab = cfg.number_mel_codes
+    eos = cfg.stop_mel_token
+
+    param_dtype = jax.tree.leaves(params)[0].dtype
+    prompt, valid_p = model.apply(
+        params, cond_latents.astype(param_dtype), emo_vec.astype(param_dtype),
+        text_tokens, text_lengths, method=UnifiedVoice.build_prompt)
+    valid = jnp.concatenate(
+        [valid_p, jnp.ones((r, t_max - p), dtype=bool)], axis=1)
+    valid_rows = jnp.repeat(valid, k, axis=0)        # (R*K, Tmax) group-major
+
+    hd = cfg.model_dim // cfg.heads
+    cache_r = jnp.zeros((cfg.layers, 2, r, cfg.heads, hd, t_max),
+                        dtype=prompt.dtype)
+    logits_r, cache_r = model.apply(params, prompt, valid_p, cache_r,
+                                    method=UnifiedVoice.prefill)
+    cache = jnp.repeat(cache_r, k, axis=2)           # rows [rK, (r+1)K) = req r
+    logits0 = jnp.repeat(logits_r[:, None], k, axis=1)     # (R, K, V)
+
+    cache = cache_to_time_major(cache)               # (L, 2, R*K, Tmax, D)
+    attn_bias = jnp.where(valid_rows, 0.0, -1e30).astype(jnp.float32)
+    if int8_kv:
+        cache = quantize_kv_cache_batch(cache)
+    interp = jax.default_backend() != "tpu"
+
+    presence0 = jnp.zeros((r, k, vocab), dtype=bool)
+    presence0 = presence0.at[:, :, 1].set(True)
+    presence0 = presence0.at[:, :, cfg.start_mel_token].set(True)
+    beam_scores0 = jnp.full((r, k), NEG, jnp.float32).at[:, 0].set(0.0)
+
+    def make_step(state: _BeamStateB, logits) -> _BeamStateB:
+        split2 = jax.vmap(jax.random.split)(state.rngs)      # (R, 2, 2)
+        rngs, subs = split2[:, 0], split2[:, 1]
+        cand_scores, cand_beams, cand_tokens = jax.vmap(
+            lambda lg, pr, bs, sb: _candidates(lg, pr, bs, sb, gen, k,
+                                               vocab))(
+            logits, state.presence, state.beam_scores, subs)
+        (pool_scores, pool_seqs, pool_lens, next_scores, next_beams,
+         next_tokens, done) = jax.vmap(
+            lambda dn, ps, pq, pln, tk, cs, cb, ct: _scorer_step(
+                state.step, dn, ps, pq, pln, tk, cs, cb, ct, gen, k, eos))(
+            state.done, state.pool_scores, state.pool_seqs, state.pool_lens,
+            state.tokens, cand_scores, cand_beams, cand_tokens)
+
+        tokens = jax.vmap(lambda t, nb: t[nb])(state.tokens, next_beams)
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, next_tokens[:, :, None].astype(jnp.int32),
+            (0, 0, state.step))
+        presence = jax.vmap(
+            lambda pr, nb, nt: pr[nb].at[jnp.arange(k), nt].set(True))(
+            state.presence, next_beams, next_tokens)
+        # ancestor table in GLOBAL row ids: write own ids at this position,
+        # then rows inherit the chosen IN-GROUP parent's history
+        src = jax.lax.dynamic_update_slice(
+            state.src, jnp.arange(nrows, dtype=jnp.int32)[:, None],
+            (0, p + state.step))
+        g_next = (jnp.arange(r, dtype=jnp.int32)[:, None] * k
+                  + next_beams).reshape(-1)
+        src = src[g_next]
+        return _BeamStateB(state.step + 1, tokens, next_scores, state.cache,
+                           src, presence,
+                           next_tokens.reshape(-1).astype(jnp.int32),
+                           pool_scores, pool_seqs, pool_lens, done, rngs)
+
+    src0 = jnp.broadcast_to(jnp.arange(nrows, dtype=jnp.int32)[:, None],
+                            (nrows, t_max))
+    state0 = _BeamStateB(
+        step=jnp.asarray(0),
+        tokens=jnp.zeros((r, k, max_new), jnp.int32),
+        beam_scores=beam_scores0, cache=cache, src=src0, presence=presence0,
+        last_tokens=jnp.zeros((nrows,), jnp.int32),
+        pool_scores=jnp.full((r, k), 2 * NEG, jnp.float32),
+        pool_seqs=jnp.full((r, k, max_new), eos, jnp.int32),
+        pool_lens=jnp.zeros((r, k), jnp.int32),
+        done=jnp.zeros((r,), bool), rngs=jnp.asarray(rngs))
+
+    state1 = make_step(state0, logits0)
+
+    def cond_fn(s: _BeamStateB):
+        return (s.step < max_new) & ~jnp.all(s.done)
+
+    def body_fn(s: _BeamStateB):
+        emb = model.apply(params, s.last_tokens, s.step - 1,
+                          method=UnifiedVoice.embed_decode_token)
+        kv_c, kv_s = s.cache if int8_kv else (s.cache, None)
+        if readout_pack is not None:
+            _, kv_new, logits_pad = fused_decode_step_batch(
+                emb, fused_pack, kv_c, attn_bias, p + s.step, cfg.heads,
+                interpret=interp, kv_scales=kv_s, int4_expand=int4_expand,
+                merge_stages=merge_stages, beam_src=s.src,
+                readout_pack=readout_pack, beam_k=k)
+            logits = logits_pad[:, :vocab]
+        else:
+            hidden, kv_new = fused_decode_step_batch(
+                emb, fused_pack, kv_c, attn_bias, p + s.step, cfg.heads,
+                interpret=interp, kv_scales=kv_s, int4_expand=int4_expand,
+                merge_stages=merge_stages, beam_src=s.src, beam_k=k)
+            logits = model.apply(params, hidden, method=UnifiedVoice.readout)
+        if int8_kv:
+            cache = apply_kv_update_q_batch(kv_c, kv_s, kv_new, p + s.step)
+        else:
+            cache = apply_kv_update_batch(s.cache, kv_new, p + s.step)
+        s = s._replace(cache=cache)
+        return make_step(s, logits.reshape(r, k, vocab))
+
+    final = jax.lax.while_loop(cond_fn, body_fn, state1)
+
+    pool_scores, pool_seqs, pool_lens = jax.vmap(
+        lambda ps, pq, pln, bs, tk, dn: _finalize_pool(
+            ps, pq, pln, bs, tk, final.step, dn, gen, k))(
+        final.pool_scores, final.pool_seqs, final.pool_lens,
+        final.beam_scores, final.tokens, final.done)
+
+    best = jnp.argmax(pool_scores, axis=1)                       # (R,)
+    seq = jnp.take_along_axis(pool_seqs, best[:, None, None], axis=1)[:, 0]
+    gen_len = jnp.take_along_axis(pool_lens, best[:, None], axis=1)[:, 0]
+    ran_out = ~final.done
+    hit_limit = ran_out & (gen_len == final.step)
+    lengths = jnp.where(hit_limit, gen_len, gen_len + 1)
+    posn = jnp.arange(max_new)[None, :]
+    seq = jnp.where(posn < gen_len[:, None], seq, eos)
     return DecodeResult(seq, lengths, hit_limit)
 
 

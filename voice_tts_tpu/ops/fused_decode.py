@@ -752,7 +752,7 @@ def batch_block_t(b: int) -> int:
 
 def _attend_batch(layer, scal_ref, heads, d, bt, q_in, k_cur, v_cur,
                   hmask_ref, hmask_t_ref, cache_ref, kscale_ref, src_ref,
-                  kbuf, vbuf, sem_k, sem_v, int8_kv):
+                  kbuf, vbuf, sem_k, sem_v, int8_kv, beam_k=0):
     """Batched online-softmax attention over each row's [0, pos_b) cache
     prefix plus its current-token k/v (in VMEM).  One strided DMA per block
     moves the (B, BT, D) slab for all rows at once (B contiguous BT*D
@@ -773,9 +773,15 @@ def _attend_batch(layer, scal_ref, heads, d, bt, q_in, k_cur, v_cur,
     per token — measured 3.7x the greedy step cost at serving shapes);
     instead the slab already holds all B rows, and each row selects its
     ancestor's k/v in-register.  Requires bt % 128 == 0 (lane-dim window
-    reads of the table), which batch_block_t guarantees for B <= 4 — beam
-    widths above 4 fall back to the physical-reorder path.  Returns the
-    (B, D) context."""
+    reads of the table), which `fused_decode_step_batch` forces whenever a
+    table is present.
+
+    `beam_k` > 0 marks REQUEST-BATCHED beam decode: B = R*beam_k rows where
+    rows [r*K, (r+1)*K) are one request's K beams.  Ancestors never cross a
+    request boundary (the caller's tables only contain in-group row ids),
+    so the selection loop shrinks from B masked adds over the full (B, BT,
+    D) slab to K per group over its (K, BT, D) sub-slab — O(B*K) instead of
+    O(B^2) VPU work.  Returns the (B, D) context."""
     b = q_in.shape[0]
     hd = d // heads
     hmask = hmask_ref[...]        # (D, H) 0/1: lane -> head grouping
@@ -798,6 +804,17 @@ def _attend_batch(layer, scal_ref, heads, d, bt, q_in, k_cur, v_cur,
         f32 one-hot multiply-add, not a boolean select: Mosaic cannot
         reshape i1 vectors ((B, BT) -> (B, BT, 1) fails to legalize)."""
         srcw = src_ref[:, pl.ds(t0, bt)]              # (B, BT) i32
+        if beam_k and beam_k < b:
+            # request groups: row g*K+j only ever selects within its group
+            groups = []
+            for g0 in range(0, b, beam_k):
+                srcg = srcw[g0:g0 + beam_k]           # (K, BT) i32
+                sub = jnp.zeros_like(slab[g0:g0 + beam_k])
+                for j in range(beam_k):
+                    m = jnp.where(srcg == g0 + j, 1.0, 0.0)
+                    sub = sub + m[:, :, None] * slab[g0 + j][None]
+                groups.append(sub)
+            return jnp.concatenate(groups, axis=0)
         out = jnp.zeros_like(slab)
         for b2 in range(b):
             m = jnp.where(srcw == b2, 1.0, 0.0)       # (B, BT) f32
@@ -969,7 +986,7 @@ def _attend_verify(layer, scal_ref, heads, d, bt, q_in, k_cur, v_cur,
 
 def _kernel_batch(scal_ref, x_ref, w_ref, c_ref, *rest, heads, int4_groups,
                   int4_expand, int8_kv, has_src, tpg, block_t,
-                  verify=False, readout=False):
+                  verify=False, readout=False, beam_k=0):
     """Batched variant of `_kernel_merged`: (B, D) activations, grid
     (L, 12/tpg).  Weight tiles stream exactly as in the batch-1 kernel (the
     DMA amortizes over the batch); the residual/ln/qkv/mlp scratch carries a
@@ -1034,7 +1051,7 @@ def _kernel_batch(scal_ref, x_ref, w_ref, c_ref, *rest, heads, int4_groups,
                                     q_s[...], k_s[...], v_s[...], hmask_ref,
                                     hmask_t_ref, cache_ref, kscale_ref,
                                     src_ref, kbuf, vbuf, sem_k, sem_v,
-                                    int8_kv)
+                                    int8_kv, beam_k=beam_k)
             x_s[...] = x_s[...] + dot(ctx, 3)
             ln_s[...] = _ln(x_s[...], c_ref[0, 26:27], c_ref[0, 27:28])
         elif t in (4, 5, 6, 7):
@@ -1077,7 +1094,7 @@ def _kernel_batch(scal_ref, x_ref, w_ref, c_ref, *rest, heads, int4_groups,
 
 @functools.partial(jax.jit,
                    static_argnames=("heads", "interpret", "int4_expand",
-                                    "merge_stages"))
+                                    "merge_stages", "beam_k"))
 def fused_decode_step_batch(x: jnp.ndarray, pack: FusedDecodePack,
                             kv_cache: jnp.ndarray, bias: jnp.ndarray,
                             pos: jnp.ndarray, heads: int,
@@ -1086,9 +1103,11 @@ def fused_decode_step_batch(x: jnp.ndarray, pack: FusedDecodePack,
                             int4_expand: bool = False,
                             merge_stages: bool | int = False,
                             beam_src: jnp.ndarray = None,
-                            readout_pack: ReadoutPack = None):
-    """Batched (2 <= B <= 8) trunk megakernel step for continuous-batch
-    serving.  x (B, D) token embeddings; kv_cache TIME-MAJOR
+                            readout_pack: ReadoutPack = None,
+                            beam_k: int = 0):
+    """Batched (2 <= B <= 8; up to 12 with a beam ancestor table) trunk
+    megakernel step for batched serving.  x (B, D) token embeddings;
+    kv_cache TIME-MAJOR
     (L, 2, B, Tmax, D); bias (B, Tmax) f32 additive mask (per-row prompt
     padding) — its masked set (entries < -1e29) MUST be one contiguous run
     per row (the `build_prompt` text-pad tail; asserted structurally by all
@@ -1115,18 +1134,25 @@ def fused_decode_step_batch(x: jnp.ndarray, pack: FusedDecodePack,
     """
     l, _, b, t_max, d = kv_cache.shape
     int8_kv = kv_scales is not None
-    assert 1 <= b <= 8, "batched megakernel sized for B <= 8 (VMEM slabs)"
-    assert d % heads == 0 and x.shape == (b, d)
+    has_src = beam_src is not None
+    # request-batched beam (beam_k groups of K rows) runs up to 12 rows:
+    # the forced bt=128 slabs stay ~8-16 MB under the 64 MiB VMEM budget
+    b_cap = 12 if has_src else 8
+    assert 1 <= b <= b_cap, (
+        f"batched megakernel sized for B <= {b_cap} (VMEM slabs), got {b}")
     bt = batch_block_t(b)
+    if has_src:
+        # the ancestor table's lane-dim window reads need 128-aligned
+        # offsets regardless of the slab-budget heuristic
+        bt = max(bt, 128)
     assert t_max % bt == 0, "cache length must be a multiple of BLOCK_T"
     assert bias.shape == (b, t_max)
     assert not int8_kv or (kv_cache.dtype == jnp.int8
                            and kv_scales.shape == (l, b, t_max, 2))
-    has_src = beam_src is not None
     if has_src:
         assert beam_src.shape == (b, t_max)
-        assert bt % 128 == 0, (
-            "beam ancestor table needs 128-aligned KV blocks (B <= 4)")
+        assert beam_k == 0 or b % beam_k == 0, (
+            f"beam_k {beam_k} must divide the row count {b}")
 
     hmask = (jnp.arange(d)[:, None] // (d // heads)
              == jnp.arange(heads)[None, :]).astype(jnp.float32)
@@ -1242,7 +1268,7 @@ def fused_decode_step_batch(x: jnp.ndarray, pack: FusedDecodePack,
     kernel = functools.partial(
         _kernel_batch, heads=heads, int4_groups=int4_groups,
         int4_expand=int4_expand, int8_kv=int8_kv, has_src=has_src,
-        tpg=tpg, block_t=bt, readout=ro)
+        tpg=tpg, block_t=bt, readout=ro, beam_k=beam_k)
     pos_vec = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (b,))
     # bias -> per-row contiguous invalid interval [lo, hi) (see docstring)
     invalid = bias < -1e29
