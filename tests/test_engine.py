@@ -401,6 +401,58 @@ def test_bf16_conditioning_with_bf16_gpt_tree():
     assert np.isfinite(np.asarray(c["cond_latents"], np.float32)).all()
 
 
+def test_auto_code_bucket_decode_cap_and_retry():
+    """`_decode_jobs`/`infer` size the decode cap from the text bucket
+    (auto_code_bucket) and re-decode at the full max_mel_tokens cap when a
+    row hits the estimate — output must equal the always-full-cap run
+    (greedy, so the retry's RNG stream is irrelevant)."""
+    from voice_tts_tpu.config import TTSConfig
+    from voice_tts_tpu.engine import TTSEngine
+
+    def build(auto):
+        cfg = TTSConfig.tiny()
+        cfg.generation.max_mel_tokens = 48     # full cap above bucket 32
+        cfg.generation.do_sample = False
+        cfg.generation.num_beams = 1
+        cfg.engine.codes_per_text_token = 0.5  # tiny estimate -> cap 32
+        cfg.engine.fuse_pipeline = False       # exercise the decode paths
+        cfg.engine.auto_code_bucket = auto
+        cfg.engine.max_prompt_seconds = 1.0
+        return TTSEngine.random(cfg, seed=0)
+
+    e_auto, e_full = build(True), build(False)
+    assert e_auto._decode_cap(16, e_auto.cfg.generation) == 32
+    sr = 22050
+    t = np.arange(int(0.4 * sr)) / sr
+    p1 = encode_wav_int16((0.4 * np.sin(2 * np.pi * 220 * t)) * 32767, sr)
+
+    # single path (infer) — retry reuses the same key, so byte equality
+    ra = e_auto.infer(p1, "cap retry.", None)
+    rf = e_full.infer(p1, "cap retry.", None)
+    np.testing.assert_array_equal(ra.wav, rf.wav)
+
+    # batch path (_decode_jobs): compare the decoded CODES — the retry's
+    # extra rng split shifts the downstream CFM noise stream, so wav bytes
+    # legitimately differ across engines; greedy codes must not
+    def decode_group(engine, texts):
+        jobs = []
+        for txt in texts:
+            spk, emovec, segments = engine._prepare(
+                p1, None, 1.0, None, False, None, False, txt, 120, 0)
+            jobs.append({"tokens": segments[0], "spk": spk,
+                         "emovec": emovec,
+                         "ids": engine.tokenizer.convert_tokens_to_ids(
+                             segments[0])})
+        bucket = max(len(j["ids"]) for j in jobs)
+        from voice_tts_tpu.engine import post
+        bucket = post.pick_bucket(bucket, engine.cfg.engine.text_buckets)
+        engine._decode_jobs(jobs, bucket, engine.cfg.generation)
+        return [(j["codes"][:j["code_len"]]).tolist() for j in jobs]
+
+    texts = ["one.", "two three."]
+    assert decode_group(e_auto, texts) == decode_group(e_full, texts)
+
+
 def test_infer_batch_request_batched_beam_matches_sequential():
     """`infer_batch` at beam-3 with the megakernel packs request PAIRS into
     one 6-row kernel (`engine._beam_jobs_fused`).  Forcing

@@ -305,3 +305,42 @@ def test_from_artifacts_profile(tmp_path):
 
     with pytest.raises(ValueError, match="unknown profile"):
         TTSEngine.from_artifacts(str(out), profile="turbo")
+
+
+def test_boot_warmup_covers_workload_buckets():
+    """`TTSService._warmup` in "workload" mode compiles every decode graph
+    the configured workload can touch BEFORE /health goes ready: after
+    warmup, requests landing in any warmed (text bucket, batch bucket)
+    pay ZERO new decode/beam-graph compiles (jit cache sizes frozen) —
+    the round-4 c16 burst 504'd precisely because batch graphs compiled
+    mid-traffic."""
+    import numpy as np
+
+    from voice_tts_tpu.audio import encode_wav_int16
+    from voice_tts_tpu.models.gpt import beam as beam_mod
+    from voice_tts_tpu.models.gpt import decode as decode_mod
+    from voice_tts_tpu.serving.app import TTSService
+
+    svc = TTSService()
+    svc.load_engines(None, 1, tiny=True)       # tiny skips auto-warmup
+    engine = svc.engines[0]
+    engine.cfg.server.warmup_mode = "workload"
+    engine.cfg.server.max_batch_size = 2
+    texts = svc._warm_texts(engine)
+    assert texts, "warm texts must cover at least one bucket"
+    svc._warmup()
+
+    fns = [decode_mod.decode, beam_mod.beam_decode,
+           beam_mod.beam_decode_batch, beam_mod.beam_decode_fused_batch]
+    sizes = [f._cache_size() for f in fns]
+
+    # a NEW speaker (different tone, same prompt shape) in warmed buckets:
+    # conditioning/decode/synthesis graphs must all be cache hits
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    wav = encode_wav_int16((0.3 * np.sin(2 * np.pi * 330 * t))
+                           .astype(np.float32), sr)
+    engine.infer(wav, texts[0])
+    engine.infer_batch([{"spk_audio_prompt": wav, "text": texts[-1]}] * 2)
+    assert [f._cache_size() for f in fns] == sizes, (
+        "request after warmup compiled a new decode graph")

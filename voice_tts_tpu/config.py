@@ -462,6 +462,12 @@ class ServerConfig:
     # the whole beam-3 + synthesis compile inside the 300 s request window
     # and 504s (wave-L server bench finding)
     warmup: bool = True
+    # warmup coverage: "workload" compiles one single request per text
+    # bucket PLUS grouped infer_batch at every pow-2 batch bucket up to
+    # max_batch_size (the graphs a concurrent burst hits — the round-4 c16
+    # burst compiled flagship batch graphs mid-traffic because warmup
+    # covered only one graph); "minimal" = one short single request
+    warmup_mode: str = "workload"
     # drain budget on SIGTERM/SIGINT (reference `gunicorn_config.py:21`)
     graceful_timeout_s: float = 30.0
     max_batch_size: int = 8  # batching cap per decode step / slot count

@@ -1215,7 +1215,8 @@ class TTSEngine:
             b *= 2
         return b
 
-    def _beam_jobs_fused(self, jobs, gen, cond, emo, text, lens, sub):
+    def _beam_jobs_fused(self, jobs, gen, cond, emo, text, lens, sub,
+                         max_new=None):
         """Decode beam-K jobs on the megakernel, REQUEST-BATCHED.
 
         Round 4 decoded beam jobs sequentially ("beams ride the megakernel
@@ -1233,6 +1234,8 @@ class TTSEngine:
         pack = self._beam_fused_pack()
         k = gen.num_beams
         n = len(jobs)
+        if max_new is None:
+            max_new = gen.max_mel_tokens
         r_cap = (max(1, getattr(e, "beam_batch_rows", 8) // k)
                  if (pack is not None and k <= 4) else 1)
 
@@ -1241,7 +1244,7 @@ class TTSEngine:
                 self.params_gpt_rt, self.gpt, gen, cond[i:i + 1],
                 emo[i:i + 1], jnp.asarray(text[i:i + 1]),
                 jnp.asarray(lens[i:i + 1]), key,
-                max_new=gen.max_mel_tokens, fused_pack=pack,
+                max_new=max_new, fused_pack=pack,
                 int8_kv=e.use_int8_kv, int4_expand=e.int4_expand,
                 merge_stages=e.merge_decode_stages,
                 readout_pack=self.readout_pack)
@@ -1266,7 +1269,7 @@ class TTSEngine:
                 self.params_gpt_rt, self.gpt, gen,
                 jnp.take(cond, idx, axis=0), jnp.take(emo, idx, axis=0),
                 jnp.asarray(text[rows]), jnp.asarray(lens[rows]), keys,
-                max_new=gen.max_mel_tokens, fused_pack=pack,
+                max_new=max_new, fused_pack=pack,
                 int8_kv=e.use_int8_kv, int4_expand=e.int4_expand,
                 merge_stages=e.merge_decode_stages,
                 readout_pack=self.readout_pack)
@@ -1278,8 +1281,31 @@ class TTSEngine:
             jnp.concatenate([r.lengths for r in results]),
             jnp.concatenate([r.hit_limit for r in results]))
 
-    def _decode_jobs(self, jobs: List[dict], bucket: int, gen) -> None:
+    def _decode_cap(self, bucket: int, gen) -> int:
+        """Decode-length cap for a text bucket's job group.
+
+        The production cap is max_mel_tokens=1500 (the reference default),
+        but a 1500-cap beam cache makes every 20-char request pay a
+        1792-position cache prefill + per-step ancestor-table traffic.
+        `auto_code_bucket` sizes the cap from the TEXT BUCKET (not the true
+        text length, so the (text bucket -> cap) map is a function and the
+        compile-variant count stays at one per text bucket) with the same
+        codes-per-token margin the fused pipeline uses; any row that hits
+        the estimated cap is re-decoded once at the full production cap
+        (`_decode_jobs` retry), so output is unaffected."""
         cfg = self.cfg
+        if not cfg.engine.auto_code_bucket:
+            return gen.max_mel_tokens
+        est = int(cfg.engine.codes_per_text_token * bucket) + 16
+        cap = post.pick_bucket(min(est, gen.max_mel_tokens),
+                               self._code_buckets())
+        return min(cap, gen.max_mel_tokens)
+
+    def _decode_jobs(self, jobs: List[dict], bucket: int, gen,
+                     force_full_cap: bool = False) -> None:
+        cfg = self.cfg
+        max_new = (gen.max_mel_tokens if force_full_cap
+                   else self._decode_cap(bucket, gen))
         # pad the batch to a power-of-2 bucket so distinct group sizes don't
         # each compile a fresh decode graph
         b = self._batch_bucket(len(jobs))
@@ -1299,7 +1325,7 @@ class TTSEngine:
         if gen.num_beams <= 1:
             res = gpt_decode(self.params_gpt_rt, self.gpt, gen, cond, emo,
                              jnp.asarray(text), jnp.asarray(lens), sub,
-                             max_new=gen.max_mel_tokens,
+                             max_new=max_new,
                              fused_pack=self.fused_pack,
                              int8_kv=self.cfg.engine.use_int8_kv,
                              int4_expand=self.cfg.engine.int4_expand,
@@ -1307,13 +1333,22 @@ class TTSEngine:
                              fused_batch=self.cfg.engine.use_fused_batch_decode,
                              readout_pack=self.readout_pack)
         elif len(jobs) == 1 or self._beam_fused_pack() is not None:
-            res = self._beam_jobs_fused(jobs, gen, cond, emo, text, lens, sub)
+            res = self._beam_jobs_fused(jobs, gen, cond, emo, text, lens, sub,
+                                        max_new)
         else:
             res = beam_decode_batch(self.params_gpt_rt, self.gpt, gen, cond,
                                     emo, jnp.asarray(text), jnp.asarray(lens),
-                                    sub, max_new=gen.max_mel_tokens)
+                                    sub, max_new=max_new)
         codes_np, lengths_np, hit = self._fetch_decode(res)
+        # rows that hit an ESTIMATED cap re-decode once at the full cap
+        retry = [i for i in range(len(jobs))
+                 if hit[i] and max_new < gen.max_mel_tokens]
+        if retry:
+            self._decode_jobs([jobs[i] for i in retry], bucket, gen,
+                              force_full_cap=True)
         for i, job in enumerate(jobs):
+            if i in retry:
+                continue
             code_len = max(int(lengths_np[i] - (0 if hit[i] else 1)), 1)
             row, row_len = post.remove_long_silence(
                 codes_np[i:i + 1, :code_len], np.asarray([code_len]),
@@ -1444,40 +1479,48 @@ class TTSEngine:
         # --- GPT AR decode (beam path when num_beams > 1, reference default 3)
         t0 = time.perf_counter()
         self._rng, sub = jax.random.split(self._rng)
-        if gen.num_beams <= 1:
-            if (self.cfg.engine.spec_decode_k >= 2
-                    and self.spec_draft_pack is not None):
-                res = spec_decode(
-                    self.params_gpt_rt, self.gpt, gen, spk["cond_latents"],
-                    emovec, jnp.asarray(text),
-                    jnp.asarray([min(text_len, bucket)]), sub,
-                    max_new=gen.max_mel_tokens, pack_target=self.fused_pack,
-                    pack_draft=self.spec_draft_pack,
-                    k_spec=self.cfg.engine.spec_decode_k,
-                    int4_expand=self.cfg.engine.int4_expand,
-                    merge_stages=self.cfg.engine.merge_decode_stages)
-            else:
-                res = gpt_decode(
+
+        def run_decode(max_new):
+            if gen.num_beams <= 1:
+                if (self.cfg.engine.spec_decode_k >= 2
+                        and self.spec_draft_pack is not None):
+                    return spec_decode(
+                        self.params_gpt_rt, self.gpt, gen,
+                        spk["cond_latents"], emovec, jnp.asarray(text),
+                        jnp.asarray([min(text_len, bucket)]), sub,
+                        max_new=max_new, pack_target=self.fused_pack,
+                        pack_draft=self.spec_draft_pack,
+                        k_spec=self.cfg.engine.spec_decode_k,
+                        int4_expand=self.cfg.engine.int4_expand,
+                        merge_stages=self.cfg.engine.merge_decode_stages)
+                return gpt_decode(
                     self.params_gpt_rt, self.gpt, gen,
                     spk["cond_latents"], emovec, jnp.asarray(text),
                     jnp.asarray([min(text_len, bucket)]), sub,
-                    max_new=gen.max_mel_tokens,
+                    max_new=max_new,
                     fused_pack=self.fused_pack,
                     int8_kv=self.cfg.engine.use_int8_kv,
                     int4_expand=self.cfg.engine.int4_expand,
                     merge_stages=self.cfg.engine.merge_decode_stages,
                     readout_pack=self.readout_pack)
-        else:
-            res = beam_decode(self.params_gpt_rt, self.gpt, gen,
-                              spk["cond_latents"], emovec, jnp.asarray(text),
-                              jnp.asarray([min(text_len, bucket)]), sub,
-                              max_new=gen.max_mel_tokens,
-                              fused_pack=self._beam_fused_pack(),
-                              int8_kv=self.cfg.engine.use_int8_kv,
-                              int4_expand=self.cfg.engine.int4_expand,
-                              merge_stages=self.cfg.engine.merge_decode_stages,
-                              readout_pack=self.readout_pack)
+            return beam_decode(self.params_gpt_rt, self.gpt, gen,
+                               spk["cond_latents"], emovec, jnp.asarray(text),
+                               jnp.asarray([min(text_len, bucket)]), sub,
+                               max_new=max_new,
+                               fused_pack=self._beam_fused_pack(),
+                               int8_kv=self.cfg.engine.use_int8_kv,
+                               int4_expand=self.cfg.engine.int4_expand,
+                               merge_stages=self.cfg.engine.merge_decode_stages,
+                               readout_pack=self.readout_pack)
+
+        # text-bucket-sized decode cap with ONE full-cap retry on hit (same
+        # estimate/retry contract as the fused pipeline and `_decode_jobs`)
+        cap = self._decode_cap(bucket, gen)
+        res = run_decode(cap)
         codes_np, lengths_np, hit_limit = self._fetch_decode(res)
+        if hit_limit[0] and cap < gen.max_mel_tokens:
+            res = run_decode(gen.max_mel_tokens)
+            codes_np, lengths_np, hit_limit = self._fetch_decode(res)
         timers["gpt_gen_time"] += time.perf_counter() - t0
 
         # stop token excluded from the code sequence unless the row never

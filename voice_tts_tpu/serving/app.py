@@ -126,15 +126,48 @@ class TTSService:
         if not tiny and getattr(self.engines[0].cfg.server, "warmup", True):
             self._warmup()
 
+    @staticmethod
+    def _warm_texts(engine) -> List[str]:
+        """One text per configured text bucket (tokenized length lands in
+        the bucket), so every decode graph a production request can touch
+        is compiled before /health goes ready.  Warming only the smallest
+        bucket (the round-4 behavior) left realistic requests to compile
+        the big beam graph inside the 300 s request window — each bucket is
+        a distinct XLA executable."""
+        buckets = engine.cfg.engine.text_buckets
+        unit = "预热一下模型编译。"
+        texts, lo = [], 0
+        for tb in buckets:
+            txt = unit
+            while (len(engine.tokenizer.tokenize(txt)) <= lo
+                   and len(txt) < 8 * (tb + len(unit))):
+                txt += unit
+            n = len(engine.tokenizer.tokenize(txt))
+            if lo < n <= tb:
+                texts.append(txt)
+            lo = tb
+        return texts or ["预热。"]
+
     def _warmup(self):
-        """Precompile the default request path BEFORE /health goes ready.
+        """Precompile the request paths BEFORE /health goes ready.
 
         With a cold compile cache, the first /tts request otherwise pays
         the full beam-3 megakernel + synthesis compile inside the request
         window and 504s at `request_timeout_s` (= the reference's 300 s
         gunicorn timeout, `gunicorn_config.py:21`) — measured in wave L's
         server bench.  Boot time absorbs the compile instead; the
-        persistent cache makes later boots fast."""
+        persistent cache makes later boots fast.
+
+        `server.warmup_mode` controls coverage:
+        - "workload" (default): one single request per TEXT bucket plus
+          grouped `infer_batch` calls at every power-of-2 batch bucket up
+          to `max_batch_size` — covering the request-batched beam decode,
+          fused batch decode, batched conditioning, and padded-batch
+          synthesis graphs a concurrent burst hits (the round-4 c16 burst
+          compiled flagship batch graphs mid-traffic because warmup only
+          covered one single-request graph);
+        - "minimal": the round-4 behavior, one short single request.
+        """
         import time as _time
 
         import numpy as np
@@ -146,12 +179,25 @@ class TTSService:
         tone = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
         wav = encode_wav_int16(tone, sr)
         t0 = _time.time()
+        mode = getattr(self.engines[0].cfg.server, "warmup_mode", "workload")
         for i, engine in enumerate(self.engines):
             try:
-                engine.infer(wav, "预热。")
+                texts = (["预热。"] if mode == "minimal"
+                         else self._warm_texts(engine))
+                for txt in texts:
+                    engine.infer(wav, txt)
+                if mode != "minimal":
+                    max_b = max(1, engine.cfg.server.max_batch_size)
+                    b = 2
+                    while b <= max_b:
+                        for txt in texts:
+                            engine.infer_batch(
+                                [{"spk_audio_prompt": wav, "text": txt}] * b)
+                        b *= 2
             except Exception as exc:  # noqa: BLE001 — warmup is best-effort
                 logger.warning("warmup failed on replica %d: %s", i, exc)
-        logger.info("warmup compiles done in %.1f s", _time.time() - t0)
+        logger.info("warmup (%s) compiles done in %.1f s", mode,
+                    _time.time() - t0)
 
     async def start_workers(self):
         for i, engine in enumerate(self.engines):
