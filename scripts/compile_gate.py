@@ -74,7 +74,7 @@ def b1_case(pack, t_max=T_MAX, int8_kv=False, int4_expand=False,
 
 def batch_case(pack, b, t_max=T_MAX, int8_kv=False, int4_expand=False,
                merge_stages=3, per_row_pos=False, beam_src=False,
-               cache_dtype=jnp.bfloat16, readout=False):
+               cache_dtype=jnp.bfloat16, readout=False, beam_k=0):
     from voice_tts_tpu.ops import fused_decode as fd
     cache = S((L, 2, b, t_max, D), jnp.int8 if int8_kv else cache_dtype)
     kv_scales = S((L, b, t_max, 2), jnp.float32) if int8_kv else None
@@ -88,7 +88,8 @@ def batch_case(pack, b, t_max=T_MAX, int8_kv=False, int4_expand=False,
     return fd.fused_decode_step_batch.lower(
         S((b, D), jnp.float32), pack, cache, S((b, t_max), jnp.float32),
         pos, H, kv_scales=kv_scales, int4_expand=int4_expand,
-        merge_stages=merge_stages, beam_src=src, readout_pack=ro)
+        merge_stages=merge_stages, beam_src=src, readout_pack=ro,
+        beam_k=beam_k)
 
 
 def verify_case(pack, k, t_max=T_MAX, merge_stages=3,
@@ -193,6 +194,20 @@ def cases():
                                                    beam_src=True),
         "b3_int4_src_beam_long": lambda: batch_case(i4, 3, t_max=T_LONG,
                                                     beam_src=True),
+        # --- REQUEST-BATCHED beam (R requests x K beams, round 5): the
+        # production serving step is 2x3 rows int8+kv8+rofold; 12-row and
+        # K=4 variants gate the beam_batch_rows A/B space, and the long
+        # case covers the full-cap retry path ---
+        "b6_int8_src_beamk3": lambda: batch_case(i8, 6, beam_src=True,
+                                                 beam_k=3),
+        "b6_int8_kv8_src_beamk3_rofold": lambda: batch_case(
+            i8, 6, int8_kv=True, beam_src=True, readout=True, beam_k=3),
+        "b6_int8_kv8_src_beamk3_long": lambda: batch_case(
+            i8, 6, t_max=T_LONG, int8_kv=True, beam_src=True, beam_k=3),
+        "b12_int8_kv8_src_beamk3_rofold": lambda: batch_case(
+            i8, 12, int8_kv=True, beam_src=True, readout=True, beam_k=3),
+        "b8_int8_kv8_src_beamk4_rofold": lambda: batch_case(
+            i8, 8, int8_kv=True, beam_src=True, readout=True, beam_k=4),
         "b4_int8_m3": lambda: batch_case(i8, 4),
         "b8_int8_m3": lambda: batch_case(i8, 8),
         "b8_int8_m1": lambda: batch_case(i8, 8, merge_stages=False),

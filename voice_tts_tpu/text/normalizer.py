@@ -377,7 +377,145 @@ def en_read_year(y: int) -> str:
     return en_read_integer(hi) + " " + en_read_integer(lo)
 
 
+_EN_MONTHS = ("january", "february", "march", "april", "may", "june",
+              "july", "august", "september", "october", "november",
+              "december")
+
+_EN_ORD_IRREG = {"one": "first", "two": "second", "three": "third",
+                 "five": "fifth", "eight": "eighth", "nine": "ninth",
+                 "twelve": "twelfth"}
+
+
+def _en_ordinal_words(words: str) -> str:
+    """Cardinal word string -> ordinal: "twenty-three" -> "twenty-third"."""
+    head, sep, last = (words.rpartition("-")
+                       if "-" in words.rsplit(" ", 1)[-1]
+                       else words.rpartition(" "))
+    if last in _EN_ORD_IRREG:
+        last = _EN_ORD_IRREG[last]
+    elif last.endswith("y"):
+        last = last[:-1] + "ieth"
+    else:
+        last = last + "th"
+    return head + sep + last
+
+_ROMAN_VAL = {"I": 1, "V": 5, "X": 10, "L": 50, "C": 100}
+
+
+def _roman_to_int(s: str) -> int:
+    total, prev = 0, 0
+    for ch in reversed(s.upper()):
+        v = _ROMAN_VAL.get(ch, 0)
+        total += -v if v < prev else v
+        prev = max(prev, v)
+    return total
+
+
+# whitelist class (WeTextProcessing en whitelist.tsv common subset):
+# abbreviation -> spoken form.  St. is context-split below.
+_EN_ABBREV = {
+    "mr": "mister", "mrs": "missus", "ms": "miss", "dr": "doctor",
+    "prof": "professor", "jr": "junior", "sr": "senior",
+    "ave": "avenue", "blvd": "boulevard", "rd": "road",
+    "dept": "department", "approx": "approximately", "appt": "appointment",
+    "apt": "apartment", "est": "established", "vs": "versus",
+    "etc": "et cetera",
+}
+
+
 def _en_verbalize(text: str) -> str:
+    # ---- whitelist abbreviations (before any digit rule so "No. 5" etc.
+    # resolve first).  Dotted forms always expand; undotted only for the
+    # unambiguous ones (vs, etc)
+    def abbrev(m):
+        word = m.group(1)
+        out = _EN_ABBREV[word.lower()]
+        return out.capitalize() if word[0].isupper() else out
+
+    text = re.sub(r"\b(" + "|".join(_EN_ABBREV) + r")\.(?=\s|$)", abbrev,
+                  text, flags=re.IGNORECASE)
+    text = re.sub(r"\b(vs|etc)\b(?!\.)", abbrev, text, flags=re.IGNORECASE)
+    # St. -> Saint before a capitalized word, Street after one
+    text = re.sub(r"\bSt\.(?=\s+[A-Z])", "Saint", text)
+    text = re.sub(r"(?<=[a-zA-Z] )St\.?(?=\s|$|,)", "Street", text)
+    # No. 5 -> number five (digit rule below reads the 5)
+    text = re.sub(r"\b[Nn]o\.\s*(?=\d)", "number ", text)
+
+    def day_ordinal(d: int) -> str:
+        return _en_ordinal_words(en_read_integer(d))
+
+    # ---- dates (WeTextProcessing en date class).  MM/DD/YYYY and ISO
+    # YYYY-MM-DD read month-name + ordinal day + year; "May 5, 2023" gets
+    # the ordinal day.  Before fraction/range rules so the slashes and
+    # dashes are consumed as dates, not arithmetic
+    def date_mdy(m):
+        mo, d, y = int(m.group(1)), int(m.group(2)), m.group(3)
+        if not (1 <= mo <= 12 and 1 <= d <= 31):
+            return m.group(0)
+        out = _EN_MONTHS[mo - 1] + " " + day_ordinal(d)
+        if y is not None:
+            out += ", " + en_read_year(int(y))
+        return out
+
+    text = re.sub(r"\b(\d{1,2})/(\d{1,2})/(\d{4})\b", date_mdy, text)
+    text = re.sub(r"\b(\d{4})-(\d{1,2})-(\d{1,2})\b",
+                  lambda m: date_mdy(type("M", (), {
+                      "group": lambda self, i, _m=m: (
+                          _m.group(2) if i == 1 else
+                          _m.group(3) if i == 2 else _m.group(1)
+                          if i == 3 else _m.group(0))})()), text)
+
+    def month_day(m):
+        d = int(m.group(2))
+        if not 1 <= d <= 31:
+            return m.group(0)
+        out = m.group(1) + " " + day_ordinal(d)
+        if m.group(3) is not None:
+            out += ", " + en_read_year(int(m.group(3)))
+        return out
+
+    months_pat = "|".join(mo.capitalize() for mo in _EN_MONTHS)
+    text = re.sub(r"\b(" + months_pat + r")\.?\s+(\d{1,2})"
+                  r"(?:,\s*((?:1[1-9]|20)\d\d))?\b(?!\d|\s*[:/])",
+                  month_day, text)
+    # year directly after a month name ("May 2021", "of May, 2021")
+    text = re.sub(r"\b(" + months_pat + r")(,?\s+)((?:1[1-9]|20)\d\d)\b",
+                  lambda m: m.group(1) + m.group(2)
+                  + en_read_year(int(m.group(3))), text)
+
+    # ---- telephone class: hyphen/paren digit groups read digit-wise with
+    # group pauses ("555-1234" -> "five five five, one two three four")
+    def phone(m):
+        groups = re.findall(r"\d+", m.group(0))
+        spoken = [" ".join(en_read_integer(int(c)) if c != "0" else "oh"
+                           for c in g) for g in groups]
+        return ", ".join(spoken)
+
+    # trailing guard rejects only digit / dot-digit (a decimal tail), not a
+    # sentence-final period — "Fax: 212-555-0123." is still a phone
+    text = re.sub(r"(?<![\d.])(?:\+?1[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}"
+                  r"(?!\.?\d)", phone, text)
+    text = re.sub(r"(?<![\d.-])\d{3}-\d{4}(?!\.?\d)(?!-)", phone, text)
+
+    # ---- roman numerals: structural words read cardinal ("Chapter IV" ->
+    # "chapter four"); a capitalized name followed by II..X reads regnal
+    # ("Henry VIII" -> "Henry the eighth").  Bare "I" stays the pronoun
+    def roman_cardinal(m):
+        return m.group(1) + " " + en_read_integer(_roman_to_int(m.group(2)))
+
+    text = re.sub(r"\b(Chapter|Part|Act|Section|Volume|Book|Phase|Stage|"
+                  r"Level|Class|Type|Grade|War)\s+([IVXLC]{1,7})\b(?![a-z])",
+                  roman_cardinal, text, flags=0)
+
+    def regnal(m):
+        n = _roman_to_int(m.group(2))
+        return (m.group(1) + " the "
+                + _en_ordinal_words(en_read_integer(n)))
+
+    text = re.sub(r"\b([A-Z][a-z]{2,})\s+(XVIII|XVII|XVI|XV|XIV|XIII|XII"
+                  r"|XI|X|IX|VIII|VII|VI|V|IV|III|II)\b(?![a-z.])",
+                  regnal, text)
+
     def time_hm(m):
         h, mi = int(m.group(1)), int(m.group(2))
         out = en_read_integer(h)
@@ -419,6 +557,11 @@ def _en_verbalize(text: str) -> str:
         return (head + " " if head else "") + last
 
     text = re.sub(r"\b((?:1[1-9]|20)\d0|[2-9]0)s\b", decade, text)
+    # year ranges BEFORE the context rule ("From 2014-2016": the context
+    # word would otherwise consume the first year and orphan the second)
+    text = re.sub(r"\b((?:1[1-9]|20)\d\d)[-–]((?:1[1-9]|20)\d\d)\b",
+                  lambda m: en_read_year(int(m.group(1))) + " to "
+                  + en_read_year(int(m.group(2))), text)
     # IGNORECASE: sentence-initial context words ("Since 1906") must get the
     # year reading too; group(1) passes the original casing through
     text = re.sub(r"\b(in|year|since|from|until|till|by|of|around|circa|"
@@ -427,21 +570,8 @@ def _en_verbalize(text: str) -> str:
                   + en_read_year(int(m.group(3))), text, flags=re.IGNORECASE)
 
     # ordinals: 1st -> first, 23rd -> twenty-third
-    _ORD_IRREG = {"one": "first", "two": "second", "three": "third",
-                  "five": "fifth", "eight": "eighth", "nine": "ninth",
-                  "twelve": "twelfth"}
-
     def ordinal(m):
-        words = en_read_integer(int(m.group(1)))
-        head, sep, last = (words.rpartition("-") if "-" in words.rsplit(" ", 1)[-1]
-                           else words.rpartition(" "))
-        if last in _ORD_IRREG:
-            last = _ORD_IRREG[last]
-        elif last.endswith("y"):
-            last = last[:-1] + "ieth"
-        else:
-            last = last + "th"
-        return head + sep + last
+        return _en_ordinal_words(en_read_integer(int(m.group(1))))
 
     text = re.sub(r"\b(\d+)(?:st|nd|rd|th)\b", ordinal, text)
     text = re.sub(r"(\d+(?:\.\d+)?)%",
@@ -453,24 +583,33 @@ def _en_verbalize(text: str) -> str:
                   + en_read_number(m.group(2)) + " degrees "
                   + {"C": "celsius", "F": "fahrenheit"}[m.group(3)], text)
 
-    # money with cents: $3.50 -> "three dollars fifty cents" (money class)
+    # money with minor units: $3.50 -> "three dollars fifty cents"
+    # (money class; £/€/¥ carry their own major/minor unit words)
+    _CURRENCIES = {"$": ("dollar", "dollars", "cent", "cents"),
+                   "£": ("pound", "pounds", "penny", "pence"),
+                   "€": ("euro", "euros", "cent", "cents"),
+                   "¥": ("yen", "yen", "sen", "sen")}
+
     def money(m):
-        d, c = int(m.group(1).replace(",", "")), m.group(2)
+        maj1, majn, min1, minn = _CURRENCIES[m.group(1)]
+        d, c = int(m.group(2).replace(",", "")), m.group(3)
         cents = int(c) if c is not None else 0
         if d == 0 and cents > 0:
-            # "$0.50" reads as just the cents phrase (reference money class)
-            return en_read_integer(cents) + (" cent" if cents == 1
-                                             else " cents")
-        out = en_read_integer(d) + (" dollar" if d == 1 else " dollars")
+            # "$0.50" reads as just the minor-unit phrase
+            return en_read_integer(cents) + " " + (min1 if cents == 1
+                                                   else minn)
+        out = en_read_integer(d) + " " + (maj1 if d == 1 else majn)
         if cents > 0:
-            out += " " + en_read_integer(cents) + (
-                " cent" if cents == 1 else " cents")
+            out += " " + en_read_integer(cents) + " " + (
+                min1 if cents == 1 else minn)
         return out
 
-    text = re.sub(r"\$(\d{1,3}(?:,\d{3})*|\d+)(?:\.(\d{2}))?(?![\d,]|\.\d)",
-                  money, text)
-    text = re.sub(r"\$(\d+(?:\.\d+)?)",
-                  lambda m: en_read_number(m.group(1)) + " dollars", text)
+    cur_pat = "[" + "".join(re.escape(c) for c in _CURRENCIES) + "]"
+    text = re.sub(r"(" + cur_pat + r")(\d{1,3}(?:,\d{3})*|\d+)"
+                  r"(?:\.(\d{2}))?(?![\d,]|\.\d)", money, text)
+    text = re.sub(r"(" + cur_pat + r")(\d+(?:\.\d+)?)",
+                  lambda m: en_read_number(m.group(2)) + " "
+                  + _CURRENCIES[m.group(1)][1], text)
 
     # fractions: 1/2 -> "one half", 3/4 -> "three quarters", 2/5 ->
     # "two fifths" (numerator cardinal + ordinal denominator)
@@ -496,6 +635,25 @@ def _en_verbalize(text: str) -> str:
     # (no '/'-adjacency so 05/06/2023 date slashes are left alone)
     text = re.sub(r"(?<![\d/])(\d{1,2})/(\d{1,3})(?![\d/])", fraction, text)
 
+    # numeric ranges: "pages 3-5" -> "three to five" (phones/dates already
+    # consumed their hyphen shapes above)
+    text = re.sub(r"(?<![\d.-])(\d{1,4}(?:\.\d+)?)[-–~](\d{1,4}(?:\.\d+)?)"
+                  r"(?![\d.-])",
+                  lambda m: en_read_number(m.group(1)) + " to "
+                  + en_read_number(m.group(2)), text)
+
+    # math chains: 3+2=5 -> "three plus two equals five" (math class)
+    _OPS = {"+": "plus", "×": "times", "*": "times", "÷": "divided by",
+            "=": "equals"}
+    for _ in range(4):
+        text = re.sub(r"(\d(?:[\d.,]*\d)?)\s*([+×*÷=])\s*(-?\d)",
+                      lambda m: m.group(1) + " " + _OPS[m.group(2)] + " "
+                      + m.group(3), text)
+
+    # negative numbers (after ranges/phones consumed their hyphens)
+    text = re.sub(r"(?<![\d\w-])-(\d+(?:\.\d+)?)",
+                  lambda m: "minus " + en_read_number(m.group(1)), text)
+
     # number-adjacent measure abbreviations (measure class subset; only
     # directly after a number so bare words stay words)
     _UNITS = {"km": "kilometer", "cm": "centimeter", "mm": "millimeter",
@@ -518,8 +676,17 @@ def _en_verbalize(text: str) -> str:
     # "F5-TTS" reads "f five-tts" (reference `front.py:473-476` cases)
     text = re.sub(r"([a-zA-Z])(\d)", r"\1 \2", text)
     text = re.sub(r"(\d)([a-zA-Z])", r"\1 \2", text)
-    text = re.sub(r"\d+(?:\.\d+)?(?:,\d{3})*",
-                  lambda m: en_read_number(m.group(0)), text)
+
+    # leading-zero integers surviving to this point are codes ("Room 008"):
+    # digit-wise with "oh", matching the phone reading — NOT int-collapsed
+    def plain(m):
+        tok = m.group(0)
+        if tok[0] == "0" and len(tok) > 1 and "." not in tok:
+            return " ".join("oh" if c == "0" else en_read_integer(int(c))
+                            for c in tok)
+        return en_read_number(tok)
+
+    text = re.sub(r"\d+(?:\.\d+)?(?:,\d{3})*", plain, text)
     return text
 
 
