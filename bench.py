@@ -109,6 +109,10 @@ def build_engine(tiny: bool):
         os.environ.get("FUSED_BEAM", "0") == "1")
     if os.environ.get("BEAMS"):
         cfg.generation.num_beams = int(os.environ["BEAMS"])
+    # request-batched beam A/B (BEAM_BATCH_ROWS=3: one request per kernel
+    # call, the round-4 sequential behavior; 6/12: 2/4 requests x 3 beams)
+    if os.environ.get("BEAM_BATCH_ROWS"):
+        cfg.engine.beam_batch_rows = int(os.environ["BEAM_BATCH_ROWS"])
     # folded megakernel readout (int8 mel_head tiles streamed through the
     # decode kernel's weight pipeline) — round-4 default ON, matching the
     # serving profile (r4 A/B: 0.0716 -> 0.0705; logit-KL bound in the

@@ -65,6 +65,11 @@ def main():
     ap.add_argument("--single-repeats", type=int, default=5)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny random engine on CPU (smoke test)")
+    ap.add_argument("--server-log", default=None,
+                    help="capture the server subprocess's stdout/stderr "
+                         "(per-request engine timer lines) to this file — "
+                         "the raw material for the server-vs-engine "
+                         "single-request gap decomposition")
     args = ap.parse_args()
 
     from voice_tts_tpu.audio import encode_wav_int16
@@ -89,8 +94,9 @@ def main():
     for k in ("INT8_DECODE", "FUSED_DECODE", "FUSED_BEAM", "FUSED_BATCH",
               "INT8_KV", "BEAMS", "FOLD_READOUT", "COND_BF16"):
         env.pop(k, None)
-    proc = subprocess.Popen(cmd, env=env, stdout=subprocess.DEVNULL,
-                            stderr=subprocess.DEVNULL)
+    log_f = (open(args.server_log, "w") if args.server_log
+             else subprocess.DEVNULL)
+    proc = subprocess.Popen(cmd, env=env, stdout=log_f, stderr=log_f)
     try:
         # flagship random init + first compiles take minutes
         assert wait_port(args.port, 1800), "server never opened its port"
