@@ -368,10 +368,11 @@ class EngineConfig:
     # beam_batch_rows // num_beams concurrent beam jobs into one
     # R*K-row megakernel (rows per request grouped, per-request ancestor
     # tables) so the weight stream amortizes across requests the way the
-    # sampling path batches.  8 -> 2 requests at the beam-3 default; the
-    # kernel supports up to 12 rows (A/B per hardware).  Only meaningful
-    # with use_fused_beam_decode and num_beams <= 4
-    beam_batch_rows: int = 8
+    # sampling path batches.  12 -> 4 requests at the beam-3 default — the
+    # measured c16 winner (r5 A/B, bench_results/r5/serving_beam3_rows*:
+    # aggregate RTF 0.101 sequential / 0.0874 at 6 rows / 0.0772 at 12).
+    # Only meaningful with use_fused_beam_decode and num_beams <= 4
+    beam_batch_rows: int = 12
     # run teacher-forced latent + s2mel + vocoder as ONE jitted graph with a
     # single host sync (each extra sync costs a round trip on remote-attached
     # chips); per-stage timers require fuse_synthesis=False
