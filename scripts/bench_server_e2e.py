@@ -101,11 +101,23 @@ def main():
         # flagship random init + first compiles take minutes
         assert wait_port(args.port, 1800), "server never opened its port"
 
-        # warm every bucket/graph the workload touches
+        # warm every bucket/graph the workload touches: singles per text,
+        # then one concurrent warm BURST — grouped batches produce code
+        # lengths (and so synthesis cbucket groups) that boot warmup's
+        # cap-bound decodes never hit, and a mid-burst flagship synthesis
+        # compile poisons every percentile of the measured phase
         for text in texts:
             post_tts(args.port, {"text": text, "spk_audio": prompt_hex})
         for _ in range(2):
             post_tts(args.port, {"text": texts[0], "spk_audio": prompt_hex})
+        warm_threads = []
+        for i in range(args.concurrency):
+            th = threading.Thread(target=lambda i=i: post_tts(
+                args.port, {"text": texts[i % 3], "spk_audio": prompt_hex}))
+            th.start()
+            warm_threads.append(th)
+        for th in warm_threads:
+            th.join()
 
         # --- phase 1: single-request latency at the server default config
         rtfs = []

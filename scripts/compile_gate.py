@@ -206,6 +206,9 @@ def cases():
             i8, 6, t_max=T_LONG, int8_kv=True, beam_src=True, beam_k=3),
         "b12_int8_kv8_src_beamk3_rofold": lambda: batch_case(
             i8, 12, int8_kv=True, beam_src=True, readout=True, beam_k=3),
+        "b12_int8_kv8_src_beamk3_rofold_long": lambda: batch_case(
+            i8, 12, t_max=T_LONG, int8_kv=True, beam_src=True, readout=True,
+            beam_k=3),
         "b8_int8_kv8_src_beamk4_rofold": lambda: batch_case(
             i8, 8, int8_kv=True, beam_src=True, readout=True, beam_k=4),
         "b4_int8_m3": lambda: batch_case(i8, 4),

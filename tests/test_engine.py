@@ -452,6 +452,17 @@ def test_auto_code_bucket_decode_cap_and_retry():
     texts = ["one.", "two three."]
     assert decode_group(e_auto, texts) == decode_group(e_full, texts)
 
+    # adaptive cap learning: a cap-hit observation raises the bucket's
+    # floor to the full cap (the next group skips the doomed attempt)...
+    gen = e_auto.cfg.generation
+    e_auto._cap_hint.clear()
+    e_auto._observe_code_len(16, [32], [True], 32, gen)
+    assert e_auto._decode_cap(16, gen) == gen.max_mel_tokens
+    # ...and decays back once shorter sequences dominate again
+    for _ in range(40):
+        e_auto._observe_code_len(16, [10], [False], 48, gen)
+    assert e_auto._decode_cap(16, gen) == 32
+
 
 def test_infer_batch_request_batched_beam_matches_sequential():
     """`infer_batch` at beam-3 with the megakernel packs request PAIRS into

@@ -269,6 +269,9 @@ class TTSEngine:
         self._resamplers: Dict[Tuple[int, int], Resampler] = {}
         self._spk_cache: Dict[str, dict] = {}
         self._emo_cache: Dict[str, jnp.ndarray] = {}
+        # per-text-bucket longest observed decode length (adaptive decode
+        # cap, see `_decode_cap` / `_observe_code_len`)
+        self._cap_hint: Dict[int, int] = {}
         self._rng = jax.random.PRNGKey(cfg.engine.seed)
 
         self._build_jit_fns()
@@ -1105,6 +1108,7 @@ class TTSEngine:
 
         prepared = []
         jobs = []  # (req_idx, seg_idx, tokens, spk_entry, emovec)
+        t_prep = time.perf_counter()
         for ri, req in enumerate(requests):
             spk, emovec, segments = self._prepare(
                 req["spk_audio_prompt"], req.get("emo_audio_prompt"),
@@ -1118,8 +1122,15 @@ class TTSEngine:
             for si, seg in enumerate(segments):
                 jobs.append({"req": ri, "seg": si, "tokens": seg,
                              "spk": spk, "emovec": emovec})
+        timers = {"gpt_gen_time": 0.0,
+                  "prepare_time": time.perf_counter() - t_prep}
 
-        self._run_segment_jobs(jobs, cfg.generation)
+        self._run_segment_jobs(jobs, cfg.generation, timers)
+        logger.info(
+            "infer_batch: %d req / %d jobs — prepare %.2f s, decode %.2f s, "
+            "synthesis %.2f s", len(requests), len(jobs),
+            timers["prepare_time"], timers["gpt_gen_time"],
+            timers.get("synthesis_time", 0.0))
 
         # --- reassemble per request
         results: List[InferenceResult] = []
@@ -1292,14 +1303,43 @@ class TTSEngine:
         compile-variant count stays at one per text bucket) with the same
         codes-per-token margin the fused pipeline uses; any row that hits
         the estimated cap is re-decoded once at the full production cap
-        (`_decode_jobs` retry), so output is unaffected."""
+        (`_decode_jobs` retry), so output is unaffected.
+
+        The estimate also LEARNS: `_observe_code_len` keeps the longest
+        decode length seen per text bucket, and the cap never drops below
+        it — so a systematically under-shooting static estimate (e.g.
+        random weights, where decode runs to the cap every time) stops
+        paying the doomed low-cap attempt after the first hits.  Boot
+        warmup performs the learning before /health goes ready."""
         cfg = self.cfg
         if not cfg.engine.auto_code_bucket:
             return gen.max_mel_tokens
         est = int(cfg.engine.codes_per_text_token * bucket) + 16
+        est = max(est, self._cap_hint.get(bucket, 0) + 1)
         cap = post.pick_bucket(min(est, gen.max_mel_tokens),
                                self._code_buckets())
         return min(cap, gen.max_mel_tokens)
+
+    def _observe_code_len(self, bucket: int, lengths, hit, cap: int,
+                          gen) -> None:
+        """Record the longest observed decode length for a text bucket.
+
+        Rows that hit a REDUCED cap are about to retry at the full cap —
+        count them as full-cap-length so the next group skips the doomed
+        attempt immediately (the retry's own observation would say the
+        same one group later).  The hint DECAYS 5% per observation group,
+        so one pathological max-length request raises the bucket's cap
+        only temporarily (~30 groups) instead of forever — retries are
+        expensive enough that the bias stays conservative."""
+        full = gen.max_mel_tokens
+        now = 0
+        for i in range(len(lengths)):
+            n = int(lengths[i])
+            if hit[i] and cap < full:
+                n = full
+            now = max(now, min(n, full))
+        old = self._cap_hint.get(bucket, 0)
+        self._cap_hint[bucket] = max(now, int(old * 0.95))
 
     def _decode_jobs(self, jobs: List[dict], bucket: int, gen,
                      force_full_cap: bool = False) -> None:
@@ -1340,6 +1380,8 @@ class TTSEngine:
                                     emo, jnp.asarray(text), jnp.asarray(lens),
                                     sub, max_new=max_new)
         codes_np, lengths_np, hit = self._fetch_decode(res)
+        self._observe_code_len(bucket, lengths_np[:len(jobs)], hit, max_new,
+                               gen)
         # rows that hit an ESTIMATED cap re-decode once at the full cap
         retry = [i for i in range(len(jobs))
                  if hit[i] and max_new < gen.max_mel_tokens]
@@ -1438,6 +1480,9 @@ class TTSEngine:
                                             self._code_buckets())
             if cfg.engine.auto_code_bucket:
                 est = int(text_len * cfg.engine.codes_per_text_token) + 16
+                # adaptive floor: never re-attempt below a length this text
+                # bucket has already been observed to exceed
+                est = max(est, self._cap_hint.get(bucket, 0) + 1)
                 cbucket = post.pick_bucket(min(est, gen.max_mel_tokens),
                                            self._code_buckets())
             else:
@@ -1465,6 +1510,10 @@ class TTSEngine:
                     min(cbucket, gen.max_mel_tokens))
                 arr = np.asarray(out)
                 hit_limit = bool(arr[0, -1, 2])
+                if hit_limit and cbucket < full_cbucket:
+                    # learn: this bucket's requests outrun the estimate
+                    self._observe_code_len(bucket, [cbucket], [True],
+                                           cbucket, gen)
                 if not (hit_limit and cbucket < full_cbucket):
                     break
                 # estimate too small for this segment: re-run at the full
@@ -1518,6 +1567,7 @@ class TTSEngine:
         cap = self._decode_cap(bucket, gen)
         res = run_decode(cap)
         codes_np, lengths_np, hit_limit = self._fetch_decode(res)
+        self._observe_code_len(bucket, lengths_np[:1], hit_limit, cap, gen)
         if hit_limit[0] and cap < gen.max_mel_tokens:
             res = run_decode(gen.max_mel_tokens)
             codes_np, lengths_np, hit_limit = self._fetch_decode(res)
