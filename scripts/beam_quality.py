@@ -91,10 +91,18 @@ def main():
                                          max_mel_tokens=steps),
     }
 
-    @jax.jit
+    # ONE jitted decode step, python-looped along the trajectory (the
+    # quality_gate pattern): a 200-step lax.scan of the flagship step
+    # compiles into a graph big enough to break the axon tunnel's
+    # remote_compile transport (observed twice)
+    def _step(params_, tok, step_idx, pos, valid, cache):
+        return model.apply(params_, tok, step_idx, pos, valid, cache,
+                           method=UnifiedVoice.decode_step)
+
+    step_fn = jax.jit(_step)
+
     def forced_logits(cond, emo, text, tlen, codes):
-        """Teacher-forced logits along `codes` (1, T): one batched forward
-        (prefill over prompt+codes would change masks; step the cache)."""
+        """Teacher-forced logits along `codes` (1, T)."""
         prompt, valid_p = model.apply(params, cond.astype(jnp.bfloat16),
                                       emo.astype(jnp.bfloat16), text, tlen,
                                       method=UnifiedVoice.build_prompt)
@@ -108,18 +116,14 @@ def main():
                                      method=UnifiedVoice.prefill)
         valid = jnp.concatenate(
             [valid_p, jnp.ones((1, t_max - p), bool)], axis=1)
-
-        def body(carry, step_tok):
-            cache, = carry
-            step, tok = step_tok
-            logits, cache = model.apply(
-                params, tok[None], step - 1, p + step, valid, cache,
-                method=UnifiedVoice.decode_step)
-            return (cache,), logits[0]
-
-        ts = jnp.arange(1, steps, dtype=jnp.int32)
-        (_,), outs = jax.lax.scan(body, (cache,), (ts, codes[0, :steps - 1]))
-        return jnp.concatenate([logits0, outs], axis=0)  # (steps, V)
+        outs = [logits0]
+        toks = np.asarray(codes[0])
+        for step in range(1, steps):
+            logits, cache = step_fn(
+                params, jnp.asarray([int(toks[step - 1])]),
+                jnp.asarray(step - 1), jnp.asarray(p + step), valid, cache)
+            outs.append(logits)
+        return jnp.concatenate(outs, axis=0)  # (steps, V)
 
     def seq_scores(cond, emo, text, tlen, codes, length):
         """Mean per-token raw and repetition-penalized log-probs of the

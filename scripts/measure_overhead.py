@@ -61,7 +61,8 @@ def main():
 
     def call(emo, rng):
         return eng._segment_pipeline(
-            eng.params_gpt_rt, (eng.fused_pack, eng.spec_draft_pack),
+            eng.params_gpt_rt, (eng.fused_pack, eng.spec_draft_pack,
+                                eng.readout_pack),
             eng.params_s2mel_rt,
             eng.params["repcodec"], eng.params["vocoder"],
             spk["cond_latents"], emo, base_args["text"], base_args["tlen"],

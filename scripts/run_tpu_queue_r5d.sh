@@ -13,6 +13,8 @@ run() {
     echo "[queue5d] exit $? — tail:"
     tail -n 4 "bench_results/r5/$label.log" | grep -av "xla_bridge"
 }
+run beam_quality_v3     python scripts/beam_quality.py --out bench_results/r5/beam_quality.json
+run measure_overhead_v3 env PYTHONPATH=/root/repo:/root/.axon_site python scripts/measure_overhead.py
 run server_r5_v3        python scripts/bench_server_e2e.py --port 8035 --server-log bench_results/r5/server_r5_v3_serverside.log
 run long_s2mel_bf16     env BENCH_LONG=1 INT8_KV=1 S2MEL_BF16=1 python bench.py
 echo "[queue5d] all done"; date
