@@ -499,6 +499,14 @@ def test_infer_batch_request_batched_beam_matches_sequential():
     for rb, rs in zip(res_b, res_s):
         np.testing.assert_array_equal(rb.wav, rs.wav)
 
+    # non-pow2 rows//K must not pad past the kernel's row cap: K=4 with
+    # rows=12 gives r_cap 3, and padding a 3-request chunk to 4 would be
+    # 16 rows (crashed before the pow-2 clamp) — now chunks of 2
+    engine.cfg.engine.beam_batch_rows = 12
+    engine.cfg.generation.num_beams = 4
+    res4 = engine.infer_batch(reqs)
+    assert all(len(r.wav) > 0 for r in res4)
+
 
 def test_full_serving_profile_composition_e2e():
     """EVERY serving-profile flag at once on the tiny engine (int8 fused

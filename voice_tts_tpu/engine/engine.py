@@ -1249,6 +1249,12 @@ class TTSEngine:
             max_new = gen.max_mel_tokens
         r_cap = (max(1, getattr(e, "beam_batch_rows", 8) // k)
                  if (pack is not None and k <= 4) else 1)
+        # chunk in POWER-OF-2 request counts: the tail chunk pads rn up to
+        # the next pow2, so a non-pow2 r_cap (e.g. 12 rows // 4 beams = 3)
+        # would pad past the kernel's row cap — clamp the chunk size to the
+        # largest pow2 <= r_cap instead
+        while r_cap & (r_cap - 1):
+            r_cap &= r_cap - 1
 
         def run_single(i, key):
             return beam_decode(
@@ -1520,6 +1526,14 @@ class TTSEngine:
                 # bucket (same rng keys -> identical decode prefix)
                 cbucket = full_cbucket
             n_frames = int(arr[0, -1, 0])
+            # observe the (post-trim, frame-derived) decode length on
+            # SUCCESS too — without it the cap hint recorded by a single
+            # cap-hit would never see the shorter observations that drive
+            # its decay, pinning the bucket at the full cap forever
+            obs_codes = max(1, int(math.ceil(
+                n_frames / max(self.cfg.s2mel.mel_scale_factor, 1e-6))))
+            self._observe_code_len(bucket, [obs_codes], [False], cbucket,
+                                   gen)
             wav_np = arr[0, :-1].reshape(-1)
             timers["pipeline_time"] = (timers.get("pipeline_time", 0.0)
                                        + time.perf_counter() - t0)

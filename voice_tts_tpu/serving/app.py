@@ -145,6 +145,12 @@ class TTSService:
             n = len(engine.tokenizer.tokenize(txt))
             if lo < n <= tb:
                 texts.append(txt)
+            else:
+                # unit growth overshot a narrow bucket — that bucket's
+                # graphs will compile on first traffic instead
+                logger.warning("warmup: no text landed in bucket %d "
+                               "(unit step too coarse); it will compile "
+                               "on first use", tb)
             lo = tb
         return texts or ["预热。"]
 
@@ -194,6 +200,23 @@ class TTSService:
                             engine.infer_batch(
                                 [{"spk_audio_prompt": wav, "text": txt}] * b)
                         b *= 2
+                    # FULL-CAP graphs: with real weights the warm decodes
+                    # above stop before the estimated cap, so the
+                    # force_full_cap retry graph an over-long request needs
+                    # would otherwise compile inside the request window —
+                    # warm it explicitly with the estimator disabled
+                    auto = engine.cfg.engine.auto_code_bucket
+                    if auto:
+                        engine.cfg.engine.auto_code_bucket = False
+                        try:
+                            for txt in texts:
+                                engine.infer(wav, txt)
+                            for b in {2, max_b} - {1}:
+                                engine.infer_batch(
+                                    [{"spk_audio_prompt": wav,
+                                      "text": texts[-1]}] * b)
+                        finally:
+                            engine.cfg.engine.auto_code_bucket = auto
             except Exception as exc:  # noqa: BLE001 — warmup is best-effort
                 logger.warning("warmup failed on replica %d: %s", i, exc)
         logger.info("warmup (%s) compiles done in %.1f s", mode,

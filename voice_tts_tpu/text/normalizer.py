@@ -448,22 +448,20 @@ def _en_verbalize(text: str) -> str:
     # YYYY-MM-DD read month-name + ordinal day + year; "May 5, 2023" gets
     # the ordinal day.  Before fraction/range rules so the slashes and
     # dashes are consumed as dates, not arithmetic
-    def date_mdy(m):
-        mo, d, y = int(m.group(1)), int(m.group(2)), m.group(3)
+    def read_date(fallback, mo, d, y):
         if not (1 <= mo <= 12 and 1 <= d <= 31):
-            return m.group(0)
+            return fallback
         out = _EN_MONTHS[mo - 1] + " " + day_ordinal(d)
         if y is not None:
             out += ", " + en_read_year(int(y))
         return out
 
-    text = re.sub(r"\b(\d{1,2})/(\d{1,2})/(\d{4})\b", date_mdy, text)
+    text = re.sub(r"\b(\d{1,2})/(\d{1,2})/(\d{4})\b",
+                  lambda m: read_date(m.group(0), int(m.group(1)),
+                                      int(m.group(2)), m.group(3)), text)
     text = re.sub(r"\b(\d{4})-(\d{1,2})-(\d{1,2})\b",
-                  lambda m: date_mdy(type("M", (), {
-                      "group": lambda self, i, _m=m: (
-                          _m.group(2) if i == 1 else
-                          _m.group(3) if i == 2 else _m.group(1)
-                          if i == 3 else _m.group(0))})()), text)
+                  lambda m: read_date(m.group(0), int(m.group(2)),
+                                      int(m.group(3)), m.group(1)), text)
 
     def month_day(m):
         d = int(m.group(2))
@@ -474,8 +472,12 @@ def _en_verbalize(text: str) -> str:
             out += ", " + en_read_year(int(m.group(3)))
         return out
 
+    # no `\.?` after the month: the pattern only names FULL month words,
+    # so a dot there could only be a sentence-final period — matching it
+    # deleted the boundary and read the next sentence's count as a date
+    # ("...in January. 5 minutes later" -> "January fifth minutes")
     months_pat = "|".join(mo.capitalize() for mo in _EN_MONTHS)
-    text = re.sub(r"\b(" + months_pat + r")\.?\s+(\d{1,2})"
+    text = re.sub(r"\b(" + months_pat + r")\s+(\d{1,2})"
                   r"(?:,\s*((?:1[1-9]|20)\d\d))?\b(?!\d|\s*[:/])",
                   month_day, text)
     # year directly after a month name ("May 2021", "of May, 2021")
@@ -503,8 +505,11 @@ def _en_verbalize(text: str) -> str:
     def roman_cardinal(m):
         return m.group(1) + " " + en_read_integer(_roman_to_int(m.group(2)))
 
+    # single letters only count as numerals for I/V/X — "Class C" /
+    # "Type C" are letter labels, not 100
     text = re.sub(r"\b(Chapter|Part|Act|Section|Volume|Book|Phase|Stage|"
-                  r"Level|Class|Type|Grade|War)\s+([IVXLC]{1,7})\b(?![a-z])",
+                  r"Level|Class|Type|Grade|War)\s+"
+                  r"([IVXLC]{2,7}|[IVX])\b(?![a-z])",
                   roman_cardinal, text, flags=0)
 
     def regnal(m):
@@ -635,6 +640,10 @@ def _en_verbalize(text: str) -> str:
     # (no '/'-adjacency so 05/06/2023 date slashes are left alone)
     text = re.sub(r"(?<![\d/])(\d{1,2})/(\d{1,3})(?![\d/])", fraction, text)
 
+    # equation minus BEFORE ranges: "5-3=2" must read "five minus three
+    # equals two", not fall to the range rule (which would strand the '=')
+    text = re.sub(r"(\d)\s*-\s*(?=\d[\d.,\s]*=)", r"\1 minus ", text)
+
     # numeric ranges: "pages 3-5" -> "three to five" (phones/dates already
     # consumed their hyphen shapes above)
     text = re.sub(r"(?<![\d.-])(\d{1,4}(?:\.\d+)?)[-–~](\d{1,4}(?:\.\d+)?)"
@@ -642,7 +651,8 @@ def _en_verbalize(text: str) -> str:
                   lambda m: en_read_number(m.group(1)) + " to "
                   + en_read_number(m.group(2)), text)
 
-    # math chains: 3+2=5 -> "three plus two equals five" (math class)
+    # math chains: 3+2=5 -> "three plus two equals five" (math class);
+    # equation '-' was already converted to "minus" before the range rule
     _OPS = {"+": "plus", "×": "times", "*": "times", "÷": "divided by",
             "=": "equals"}
     for _ in range(4):
