@@ -64,7 +64,7 @@ def main():
             eng.params_gpt_rt, (eng.fused_pack, eng.spec_draft_pack,
                                 eng.readout_pack),
             eng.params_s2mel_rt,
-            eng.params["repcodec"], eng.params["vocoder"],
+            eng.params["repcodec"], eng.params_voc_rt,
             spk["cond_latents"], emo, base_args["text"], base_args["tlen"],
             base_args["pc"], base_args["plen"], base_args["ref"],
             base_args["style"], rng, gen, cbucket,
